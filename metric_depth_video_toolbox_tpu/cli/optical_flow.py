@@ -1,0 +1,87 @@
+"""CLI: optical flow video (reference optical_flow.py — RAFT over
+streamed pairs, flow -> RGB video, OOM batch-halving)."""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def build_parser(parser=None):
+    p = parser or argparse.ArgumentParser(
+        description="Dense optical flow video (RAFT-class).")
+    p.add_argument("--color_video", type=str, required=True)
+    p.add_argument("--max_frames", default=-1, type=int)
+    p.add_argument("--batch_size", default=4, type=int)
+    p.add_argument("--checkpoint", type=str)
+    return p
+
+
+def run(args):
+    import jax
+    import jax.numpy as jnp
+
+    from metric_depth_video_toolbox_tpu.io import video as vio
+    from metric_depth_video_toolbox_tpu.models import raft
+    from metric_depth_video_toolbox_tpu.utils.host import robust_call
+
+    reader = vio.VideoReader(args.color_video, max_frames=args.max_frames)
+    h8 = (reader.height // 8) * 8
+    w8 = (reader.width // 8) * 8
+    model = raft.RAFT(raft.RAFTConfig())
+    params = None
+    if args.checkpoint:
+        from metric_depth_video_toolbox_tpu.models import convert
+        params = convert.load_checkpoint(args.checkpoint)
+
+    @jax.jit
+    def step(p, a, b):
+        flow = jax.vmap(lambda x, y: model.apply(p, x, y))(a, b)
+        return jax.vmap(raft.flow_to_rgb)(flow)
+
+    out_path = args.color_video + "_flow.mkv"
+    writer = vio.VideoWriter(out_path, reader.fps, reader.width,
+                             reader.height)
+    prev = None
+    batch_a, batch_b = [], []
+    n = 0
+
+    def flush():
+        nonlocal n, params
+        if not batch_a:
+            return
+        a = jnp.asarray(np.stack(batch_a)[:, :h8, :w8])
+        b = jnp.asarray(np.stack(batch_b)[:, :h8, :w8])
+        if params is None:
+            params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                         a[0], b[0])
+        rgb = robust_call(step, params, a, b)
+        for f in rgb:
+            writer.write(f)
+            n += 1
+        batch_a.clear()
+        batch_b.clear()
+
+    for frame in reader:
+        if prev is not None:
+            batch_a.append(prev)
+            batch_b.append(frame)
+            if len(batch_a) == args.batch_size:
+                flush()
+        prev = frame
+    flush()
+    reader.close()
+    writer.commit(n)
+    print(f"flow video saved: {out_path}")
+    return out_path
+
+
+def main(argv=None):
+    from metric_depth_video_toolbox_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

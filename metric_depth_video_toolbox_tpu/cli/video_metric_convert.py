@@ -1,0 +1,56 @@
+"""CLI: color video -> metric depth video via the VDA-class engine.
+
+Flag-compatible with reference video_metric_convert.py (:153-206),
+including the ``.txt`` batch-list protocol.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser(parser=None):
+    p = parser or argparse.ArgumentParser(
+        description="Temporally consistent metric depth video from a color "
+                    "video (Video-Depth-Anything-class engine).")
+    p.add_argument("--color_video", type=str, required=True,
+                   help="video file or .txt list of video files")
+    p.add_argument("--depth_video", type=str,
+                   help="reference metric depth video used as the anchor "
+                        "instead of the single-frame metric model")
+    p.add_argument("--max_depth", default=100, type=float)
+    p.add_argument("--max_frames", default=-1, type=int)
+    p.add_argument("--input_size", default=518, type=int)
+    p.add_argument("--model_size", default="vits",
+                   choices=["vitt", "vits", "vitb", "vitl", "vitg"])
+    p.add_argument("--window", type=int, default=None)
+    p.add_argument("--checkpoint", type=str,
+                   help="converted Flax checkpoint (models.convert)")
+    return p
+
+
+def run(args):
+    from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
+
+    params = None
+    if args.checkpoint:
+        from metric_depth_video_toolbox_tpu.models import convert
+        params = convert.load_checkpoint(args.checkpoint)
+    outs = dstage.run_batch(
+        "vda", args.color_video, max_depth=args.max_depth,
+        max_frames=args.max_frames, input_size=args.input_size,
+        size=args.model_size, window=args.window, params=params,
+        reference_depth_video=args.depth_video)
+    for o in outs:
+        print(f"depth video saved: {o}")
+    return outs
+
+
+def main(argv=None):
+    from metric_depth_video_toolbox_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Depth-Anything-class monocular depth estimator (ViT + DPT, Flax).
+
+Fills the role of the reference's metric anchor model
+(Depth-Anything-V2-metric-hypersim, reference other/metric_dpt_func.py:7-17,
+loaded by video_metric_convert.py:116) and the per-frame relative model
+inside VDA. Two output modes:
+
+- metric:   depth = sigmoid-free scaled output, clipped to max_depth
+            (DA-V2-metric convention: head output * max_depth)
+- relative: raw non-negative disparity (inverse depth up to scale/shift)
+
+Inference helper handles aspect-preserving resize to a patch-multiple
+working resolution (reference video_metric_convert.py:84-88) and resize
+back, all on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from metric_depth_video_toolbox_tpu.models import dpt as dpt_mod
+from metric_depth_video_toolbox_tpu.models import vit as vit_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class DepthAnythingConfig:
+    vit: vit_mod.ViTConfig = vit_mod.VIT_L
+    dpt: dpt_mod.DPTConfig = dpt_mod.DPTConfig()
+    metric: bool = True
+    max_depth: float = 20.0  # hypersim-metric convention
+
+
+TINY = DepthAnythingConfig(vit=vit_mod.VIT_TINY, dpt=dpt_mod.DPT_TINY,
+                           max_depth=20.0)
+
+
+def preset(name, metric=True, max_depth=20.0):
+    dpt_cfg = dpt_mod.DPT_TINY if name == "vitt" else dpt_mod.DPTConfig()
+    return DepthAnythingConfig(vit=vit_mod.PRESETS[name],
+                               dpt=dpt_cfg, metric=metric,
+                               max_depth=max_depth)
+
+
+class DepthAnything(nn.Module):
+    cfg: DepthAnythingConfig
+
+    @nn.compact
+    def __call__(self, images):
+        """images: (B, H, W, 3) in [0,1], H/W multiples of patch size.
+        Returns (B, H, W) float32 — metric depth in meters (metric mode)
+        or relative disparity (relative mode)."""
+        feats, _ = vit_mod.ViT(self.cfg.vit, name="backbone")(images)
+        out = dpt_mod.DPTHead(self.cfg.dpt,
+                              patch_size=self.cfg.vit.patch_size,
+                              name="head")(feats)
+        out = out[..., 0].astype(jnp.float32)
+        if self.cfg.metric:
+            return jnp.clip(out, 0.0, self.cfg.max_depth)
+        return out
+
+
+def working_resolution(h, w, input_size, patch):
+    """Aspect-preserving working resolution, snapped to patch multiples
+    (reference video_metric_convert.py:84-88 sizes by aspect ratio)."""
+    scale = input_size / min(h, w)
+    nh = max(patch, int(round(h * scale / patch)) * patch)
+    nw = max(patch, int(round(w * scale / patch)) * patch)
+    return nh, nw
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "out_hw", "work_hw"))
+def infer_depth(apply_fn, params, images_u8, out_hw, work_hw):
+    """uint8 (B, H, W, 3) -> float32 depth (B, out_h, out_w), fused
+    resize -> model -> resize-back on device."""
+    x = images_u8.astype(jnp.float32) / 255.0
+    x = jax.image.resize(
+        x, (x.shape[0], work_hw[0], work_hw[1], 3), "bilinear")
+    d = apply_fn(params, x)
+    return jax.image.resize(d, (d.shape[0],) + tuple(out_hw), "bilinear")
+
+
+def scale_shift_align_to_metric(relative_disparity, metric_depth,
+                                weights=None, min_depth=1e-3):
+    """Fit (s, t) on inverse depths so s*rel + t ~ 1/metric, then return the
+    aligned *depth* (reference video_metric_convert.py:119-144: negatives
+    and infinities clamp to max valid depth downstream)."""
+    from metric_depth_video_toolbox_tpu.ops import solvers
+    inv_metric = 1.0 / jnp.maximum(metric_depth, min_depth)
+    s, t = solvers.scale_and_shift(relative_disparity, inv_metric, weights)
+    inv = relative_disparity * s + t
+    return 1.0 / jnp.maximum(inv, 1e-6), (s, t)

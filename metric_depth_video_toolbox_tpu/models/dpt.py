@@ -1,0 +1,106 @@
+"""DPT (dense prediction transformer) decoder head (Flax linen).
+
+The decoder used by the Depth-Anything family: reassemble 4 ViT feature
+levels into a multi-scale pyramid, fuse coarse-to-fine with residual conv
+units, and regress per-pixel depth/disparity. Convolutions stay in NHWC
+bfloat16 (XLA maps them onto the MXU); upsampling is bilinear
+jax.image.resize fused into the surrounding elementwise work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class DPTConfig:
+    features: int = 128
+    out_channels: Sequence[int] = (96, 192, 384, 768)
+    dtype: str = "bfloat16"
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+DPT_TINY = DPTConfig(features=32, out_channels=(16, 32, 48, 64))
+
+
+def _resize(x, hw):
+    return jax.image.resize(
+        x, (x.shape[0], hw[0], hw[1], x.shape[3]), "bilinear").astype(x.dtype)
+
+
+class ResidualConvUnit(nn.Module):
+    cfg: DPTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        y = nn.relu(x)
+        y = nn.Conv(c.features, (3, 3), dtype=c.compute_dtype, name="conv1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(c.features, (3, 3), dtype=c.compute_dtype, name="conv2")(y)
+        return x + y
+
+
+class FeatureFusion(nn.Module):
+    cfg: DPTConfig
+
+    @nn.compact
+    def __call__(self, x, skip=None, out_hw=None):
+        c = self.cfg
+        if skip is not None:
+            x = x + ResidualConvUnit(c, name="rcu1")(skip)
+        x = ResidualConvUnit(c, name="rcu2")(x)
+        if out_hw is not None:
+            x = _resize(x, out_hw)
+        return nn.Conv(c.features, (1, 1), dtype=c.compute_dtype,
+                       name="project")(x)
+
+
+class DPTHead(nn.Module):
+    """4 ViT feature maps (B, gh, gw, D) -> dense prediction
+    (B, gh*patch, gw*patch, 1), non-negative (relu) raw output; metric /
+    relative interpretation is applied by the caller."""
+    cfg: DPTConfig
+    patch_size: int = 14
+
+    @nn.compact
+    def __call__(self, feats):
+        c = self.cfg
+        b, gh, gw, _ = feats[0].shape
+        # Reassemble: project each level and move to its pyramid scale
+        # (x4, x2, x1, x0.5 of the token grid).
+        scales = (4, 2, 1, 0.5)
+        pyr = []
+        for i, (f, ch) in enumerate(zip(feats, c.out_channels)):
+            y = nn.Conv(ch, (1, 1), dtype=c.compute_dtype,
+                        name=f"project{i}")(f)
+            hw = (int(gh * scales[i]), int(gw * scales[i]))
+            y = _resize(y, hw)
+            y = nn.Conv(c.features, (3, 3), dtype=c.compute_dtype,
+                        use_bias=False, name=f"scratch{i}")(y)
+            pyr.append(y)
+
+        # Fuse coarse -> fine.
+        x = FeatureFusion(c, name="fusion3")(
+            pyr[3], out_hw=pyr[2].shape[1:3])
+        x = FeatureFusion(c, name="fusion2")(
+            x, skip=pyr[2], out_hw=pyr[1].shape[1:3])
+        x = FeatureFusion(c, name="fusion1")(
+            x, skip=pyr[1], out_hw=pyr[0].shape[1:3])
+        x = FeatureFusion(c, name="fusion0")(x, skip=pyr[0])
+
+        x = nn.Conv(c.features // 2, (3, 3), dtype=c.compute_dtype,
+                    name="head_conv1")(x)
+        x = _resize(x, (gh * self.patch_size, gw * self.patch_size))
+        x = nn.Conv(32, (3, 3), dtype=c.compute_dtype, name="head_conv2")(x)
+        x = nn.relu(x)
+        x = nn.Conv(1, (1, 1), dtype=jnp.float32, name="head_conv3")(x)
+        return nn.relu(x)

@@ -1,0 +1,165 @@
+"""DINOv2-style ViT backbone (Flax linen).
+
+The encoder family behind every Depth-Anything-class model the reference
+wraps (video_metric_convert.py / videoanythingmetric_video.py /
+upscale_depth_promptda.py wrap torch DINOv2-ViT models; see reference
+other/metric_dpt_func.py:7-17). Re-implemented TPU-first:
+
+- all matmuls in bfloat16 with float32 accumulation (MXU-friendly),
+- static shapes: images are padded/resized to patch multiples up front,
+- intermediate features returned from selected depths for the DPT head,
+- optional sharding constraints on the token axis ('seq') and the
+  head/hidden axes ('model') applied by the caller via jax.sharding.
+
+Checkpoint conversion from torch DINOv2/DA-V2 weights lives in
+``models.convert``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    patch_size: int = 14
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    layerscale_init: float = 1.0
+    out_indices: Sequence[int] = (2, 5, 8, 11)
+    dtype: str = "bfloat16"
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+VIT_S = ViTConfig(embed_dim=384, depth=12, num_heads=6,
+                  out_indices=(2, 5, 8, 11))
+VIT_B = ViTConfig(embed_dim=768, depth=12, num_heads=12,
+                  out_indices=(2, 5, 8, 11))
+VIT_L = ViTConfig(embed_dim=1024, depth=24, num_heads=16,
+                  out_indices=(4, 11, 17, 23))
+VIT_G = ViTConfig(embed_dim=1536, depth=40, num_heads=24,
+                  out_indices=(9, 19, 29, 39))
+
+PRESETS = {"vits": VIT_S, "vitb": VIT_B, "vitl": VIT_L, "vitg": VIT_G}
+
+# Tiny config for tests/smoke runs (also exposed as --model_size vitt).
+
+VIT_TINY = ViTConfig(embed_dim=64, depth=4, num_heads=4,
+                     out_indices=(0, 1, 2, 3))
+PRESETS["vitt"] = VIT_TINY
+
+
+class Attention(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        d = c.embed_dim
+        qkv = nn.Dense(3 * d, dtype=c.compute_dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(t.shape[:-1] + (c.num_heads, d // c.num_heads))
+        q, k, v = heads(q), heads(k), heads(v)
+        scale = (d // c.num_heads) ** -0.5
+        attn = jnp.einsum("...qhc,...khc->...hqk", q * scale, k,
+                          preferred_element_type=jnp.float32)
+        attn = nn.softmax(attn, axis=-1).astype(c.compute_dtype)
+        out = jnp.einsum("...hqk,...khc->...qhc", attn, v)
+        out = out.reshape(out.shape[:-2] + (d,))
+        return nn.Dense(d, dtype=c.compute_dtype, name="proj")(out)
+
+
+class Mlp(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        hidden = int(c.embed_dim * c.mlp_ratio)
+        x = nn.Dense(hidden, dtype=c.compute_dtype, name="fc1")(x)
+        x = nn.gelu(x)
+        return nn.Dense(c.embed_dim, dtype=c.compute_dtype, name="fc2")(x)
+
+
+class LayerScale(nn.Module):
+    dim: int
+    init: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.constant(self.init),
+                           (self.dim,))
+        return x * gamma.astype(x.dtype)
+
+
+class Block(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        y = Attention(c, name="attn")(y)
+        x = x + LayerScale(c.embed_dim, c.layerscale_init, name="ls1")(y)
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        y = Mlp(c, name="mlp")(y)
+        return x + LayerScale(c.embed_dim, c.layerscale_init, name="ls2")(y)
+
+
+class ViT(nn.Module):
+    """Returns the list of (B, N, D) token features at cfg.out_indices
+    (post-final-norm applied to each, DINOv2 'get_intermediate_layers'
+    convention with norm=True), plus the cls token of the last block.
+    """
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, images):
+        """images: (B, H, W, 3) float in [0, 1]; H, W % patch_size == 0."""
+        c = self.cfg
+        b, h, w, _ = images.shape
+        p = c.patch_size
+        gh, gw = h // p, w // p
+
+        mean = jnp.asarray([0.485, 0.456, 0.406], c.compute_dtype)
+        std = jnp.asarray([0.229, 0.224, 0.225], c.compute_dtype)
+        x = (images.astype(c.compute_dtype) - mean) / std
+
+        x = nn.Conv(c.embed_dim, (p, p), strides=(p, p),
+                    dtype=c.compute_dtype, name="patch_embed")(x)
+        x = x.reshape(b, gh * gw, c.embed_dim)
+
+        cls = self.param("cls_token", nn.initializers.zeros,
+                         (1, 1, c.embed_dim))
+        pos = self.param("pos_embed",
+                         nn.initializers.normal(0.02),
+                         (1, gh * gw + 1, c.embed_dim))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(x.dtype), (b, 1, c.embed_dim)), x],
+            axis=1)
+        x = x + pos.astype(x.dtype)
+
+        final_norm = nn.LayerNorm(dtype=jnp.float32, name="norm")
+        wanted = set(c.out_indices)
+        stored = {}
+        for i in range(c.depth):
+            x = Block(c, name=f"block{i}")(x)
+            if i in wanted:
+                stored[i] = final_norm(x)
+        xn = final_norm(x)
+        # select in out_indices order (duplicates allowed, e.g. tiny configs)
+        feats = [stored[i] for i in c.out_indices]
+        patch_feats = [f[:, 1:].reshape(b, gh, gw, c.embed_dim)
+                       for f in feats]
+        return patch_feats, xn[:, 0]

@@ -1,0 +1,339 @@
+"""Depth estimation stage: color video -> RGB-encoded metric depth video.
+
+The engine registry mirrors the reference's depth-engine zoo (SURVEY.md
+§2.2). Every engine takes a color video path and writes
+``<video>_depth.mkv`` through the shared codec, plus optional sidecars
+(xfovs, transformations). Batch ``.txt`` list mode loads the model once
+per movie (reference video_metric_convert.py:182-206).
+
+Engines here run Flax models from ``models``; checkpoints come from
+``models.convert`` (torch -> Flax). With random weights the plumbing and
+throughput are identical, which is what the tests exercise.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from metric_depth_video_toolbox_tpu.io import sidecar
+from metric_depth_video_toolbox_tpu.io import video as vio
+from metric_depth_video_toolbox_tpu.models import depth_anything as da
+from metric_depth_video_toolbox_tpu.models import video_depth as vd
+from metric_depth_video_toolbox_tpu.ops import solvers
+from metric_depth_video_toolbox_tpu.utils.host import robust_call, to_host
+
+ENGINES: Dict[str, Callable] = {}
+
+
+def register_engine(name):
+    def deco(fn):
+        ENGINES[name] = fn
+        return fn
+    return deco
+
+
+def read_list_file(path):
+    """.txt batch protocol: one video path per line, '#' comments
+    (reference video_da3.py:27-34)."""
+    items = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                items.append(line)
+    return items
+
+
+def expand_batch(path_or_txt):
+    if isinstance(path_or_txt, str) and path_or_txt.lower().endswith(".txt"):
+        return read_list_file(path_or_txt)
+    return [path_or_txt]
+
+
+class VDAEngine:
+    """Video-Depth-Anything-class engine: temporally consistent relative
+    video depth, re-metricized against a per-frame metric anchor model or a
+    reference depth video (reference video_metric_convert.py:77-150).
+    """
+
+    def __init__(self, size="vits", input_size=518, window=None,
+                 overlap=None, params=None, anchor_params=None, rng_seed=0,
+                 metric_anchor_frames=32, max_depth=100.0):
+        import metric_depth_video_toolbox_tpu.models.dpt as dpt_mod
+        window = window or vd.VideoDepthConfig.window
+        if overlap is None:
+            overlap = min(vd.VideoDepthConfig.overlap, max(window // 4, 1))
+        self.cfg = vd.VideoDepthConfig(
+            vit=vd.vit_mod.PRESETS[size],
+            dpt=dpt_mod.DPT_TINY if size == "vitt" else dpt_mod.DPTConfig(),
+            temporal_layers=1 if size == "vitt" else 2,
+            window=window, overlap=min(overlap, window - 1))
+        self.model = vd.VideoDepthAnything(self.cfg)
+        self.anchor_cfg = da.preset(size, metric=True, max_depth=20.0)
+        self.anchor = da.DepthAnything(self.anchor_cfg)
+        self.input_size = input_size
+        self.metric_anchor_frames = metric_anchor_frames
+        self.max_depth = max_depth
+        self._params = params
+        self._anchor_params = anchor_params
+        self._rng = jax.random.PRNGKey(rng_seed)
+        # stable fn identities so jitted wrappers don't retrace per call
+        self._apply = self.model.apply
+        self._anchor_apply = self.anchor.apply
+
+    def _ensure_params(self, work_hw):
+        if self._params is None:
+            x = jnp.zeros((self.cfg.window,) + tuple(work_hw) + (3,))
+            self._params = jax.jit(self.model.init)(self._rng, x)
+        if self._anchor_params is None:
+            x = jnp.zeros((1,) + tuple(work_hw) + (3,))
+            self._anchor_params = jax.jit(self.anchor.init)(self._rng, x)
+
+    def infer_video(self, frames_u8, reference_depth=None):
+        """(T, H, W, 3) uint8 -> (T, H, W) float32 metric depth."""
+        t, h, w = frames_u8.shape[:3]
+        work_hw = da.working_resolution(h, w, self.input_size,
+                                        self.cfg.vit.patch_size)
+        self._ensure_params(work_hw)
+        disp = vd.infer_video_depth(
+            self._apply, self._params, frames_u8,
+            work_hw, (h, w), window=self.cfg.window,
+            overlap=self.cfg.overlap)
+
+        # metric anchor on the first N frames (reference :105-125)
+        n_anchor = min(self.metric_anchor_frames, t)
+        if reference_depth is not None:
+            anchor_depth = reference_depth[:n_anchor]
+        else:
+            anchor_depth = robust_call(
+                da.infer_depth, self._anchor_apply,
+                self._anchor_params, jnp.asarray(frames_u8[:n_anchor]),
+                (h, w), work_hw)
+        s, sh = to_host(jax.jit(solvers.scale_and_shift)(
+            jnp.asarray(disp[:n_anchor]),
+            1.0 / jnp.maximum(jnp.asarray(anchor_depth), 1e-3)))
+        inv = disp * float(s) + float(sh)
+        depth = 1.0 / np.maximum(inv, 1e-6)
+        # negative/invalid inverse depth -> clamp to max (reference :139-142)
+        depth[inv <= 0] = self.max_depth
+        return np.clip(depth, 0.0, self.max_depth).astype(np.float32)
+
+
+@register_engine("vda")
+def run_vda(color_video, max_depth=100.0, max_frames=-1, engine=None,
+            reference_depth_video=None, **kw):
+    """video_metric_convert.py equivalent."""
+    eng = engine or VDAEngine(max_depth=max_depth, **kw)
+    frames, fps = vio.read_video_frames(color_video, max_frames=max_frames)
+    ref = None
+    if reference_depth_video:
+        r = vio.DepthVideoReader(reference_depth_video, max_depth)
+        ref = r.read_depth_batch(frames.shape[0])
+        r.close()
+    depth = eng.infer_video(frames, reference_depth=ref)
+    out = color_video + "_depth.mkv"
+    vio.save_depth_video(depth, out, fps, max_depth)
+    return out
+
+
+class SingleFrameEngine:
+    """Per-frame metric depth engines (UniDepth/UniK3D/MoGe/DepthPro-class
+    wrappers, reference unidepth_video.py etc.): batched frame inference
+    with optional per-frame FOV estimation emitted as a sidecar."""
+
+    def __init__(self, size="vits", input_size=518, params=None,
+                 max_depth=100.0, estimates_fov=False, rng_seed=0):
+        self.cfg = da.preset(size, metric=True, max_depth=max_depth)
+        self.model = da.DepthAnything(self.cfg)
+        self.input_size = input_size
+        self.max_depth = max_depth
+        self.estimates_fov = estimates_fov
+        self._params = params
+        self._rng = jax.random.PRNGKey(rng_seed)
+        self._apply = self.model.apply
+
+    def infer_video(self, frames_u8, batch=8):
+        t, h, w = frames_u8.shape[:3]
+        work_hw = da.working_resolution(h, w, self.input_size,
+                                        self.cfg.vit.patch_size)
+        if self._params is None:
+            x = jnp.zeros((batch,) + tuple(work_hw) + (3,))
+            self._params = jax.jit(self.model.init)(self._rng, x)
+        outs = []
+        for i in range(0, t, batch):
+            chunk = frames_u8[i:i + batch]
+            n = chunk.shape[0]
+            if n < batch:
+                chunk = np.pad(chunk, ((0, batch - n), (0, 0), (0, 0),
+                                       (0, 0)), mode="edge")
+            d = robust_call(da.infer_depth, self._apply,
+                            self._params, jnp.asarray(chunk), (h, w),
+                            work_hw)
+            outs.append(d[:n])
+        return np.concatenate(outs, axis=0)
+
+
+@register_engine("single_frame")
+def run_single_frame(color_video, max_depth=100.0, max_frames=-1,
+                     engine=None, xfov=None, save_xfovs=False, **kw):
+    eng = engine or SingleFrameEngine(max_depth=max_depth, **kw)
+    frames, fps = vio.read_video_frames(color_video, max_frames=max_frames)
+    depth = eng.infer_video(frames)
+    out = color_video + "_depth.mkv"
+    vio.save_depth_video(depth, out, fps, max_depth)
+    if save_xfovs:
+        xf = xfov if xfov is not None else 50.0
+        sidecar.save_xfovs(out + "_xfovs.json",
+                           np.full(frames.shape[0], xf, np.float32))
+    return out
+
+
+# kwargs consumed by the runner functions; everything else goes to the
+# engine constructor.
+_RUN_KEYS = ("max_depth", "max_frames", "reference_depth_video", "xfov",
+             "save_xfovs")
+
+_ENGINE_CLASSES = {"vda": VDAEngine, "single_frame": SingleFrameEngine}
+
+
+def run_batch(engine_name, videos_or_txt, **kw):
+    """Batch mode: model loads once, runs over every listed video
+    (reference movie_2_3D.py:311-384 batching)."""
+    fn = ENGINES[engine_name]
+    run_kw = {k: v for k, v in kw.items() if k in _RUN_KEYS}
+    eng_kw = {k: v for k, v in kw.items() if k not in _RUN_KEYS}
+    if "max_depth" in kw:
+        eng_kw["max_depth"] = kw["max_depth"]
+    outs = []
+    eng = None
+    for v in expand_batch(videos_or_txt):
+        out_path = v + "_depth.mkv"
+        if vio.is_valid_video(out_path):  # resume-by-existence
+            outs.append(out_path)
+            continue
+        if eng is None:
+            eng = _ENGINE_CLASSES[engine_name](**eng_kw)
+        outs.append(fn(v, engine=eng, **run_kw))
+    return outs
+
+
+class DA3PipelineEngine:
+    """DA3-class engine wrapper: depth + transformations + xfovs sidecars
+    (reference video_da3.py:243-263)."""
+
+    def __init__(self, max_depth=100.0, **kw):
+        from metric_depth_video_toolbox_tpu.models import da3 as da3_mod
+        self.engine = da3_mod.DA3Engine(**kw)
+        self.max_depth = max_depth
+
+
+@register_engine("da3")
+def run_da3(color_video, max_depth=100.0, max_frames=-1, engine=None, **kw):
+    eng = engine or DA3PipelineEngine(max_depth=max_depth, **kw)
+    frames, fps = vio.read_video_frames(color_video, max_frames=max_frames)
+    depth, c2w, xfovs = eng.engine.infer_video(frames)
+    out = color_video + "_depth.mkv"
+    vio.save_depth_video(np.clip(depth, 0, max_depth), out, fps, max_depth)
+    sidecar.save_xfovs(out + "_xfovs.json", xfovs)
+    sidecar.save_transformations(out + "_transformations.json", c2w)
+    return out
+
+
+class DepthCrafterEngine:
+    """DepthCrafter-class engine: video->relative-depth diffusion in
+    windows (110/25, 5 steps, reference depthcrafter_video.py:183-194),
+    re-metricized against a required reference depth video (:200-227)."""
+
+    def __init__(self, cfg=None, params=None, window=110, overlap=25,
+                 work_hw=(256, 256), rng_seed=0, max_depth=100.0):
+        from metric_depth_video_toolbox_tpu.models import diffusion as dif
+        self.dif = dif
+        self.cfg = cfg or dif.DIFFUSION_TINY
+        self.model = dif.VideoInpainter(self.cfg)
+        self.window = window
+        self.overlap = overlap
+        self.work_hw = work_hw
+        self.max_depth = max_depth
+        self._params = params
+        self._rng = jax.random.PRNGKey(rng_seed)
+
+    def _ensure(self, t):
+        if self._params is None:
+            f = jnp.zeros((t,) + self.work_hw + (3,))
+            m = jnp.zeros((t,) + self.work_hw)
+            self._params = jax.jit(self.model.init)(self._rng, f, m)
+
+    def infer_window(self, frames_u8):
+        t, h, w = frames_u8.shape[:3]
+        self._ensure(t)
+        wh, ww = self.work_hw
+
+        @jax.jit
+        def run(params, rng, f_u8):
+            f = f_u8.astype(jnp.float32) / 255.0
+            fw = jax.image.resize(f, (t, wh, ww, 3), "bilinear")
+            cond_lat = self.model.apply(params, fw,
+                                        method=self.model.encode)
+            mlat = jnp.zeros(cond_lat.shape[:3] + (1,))
+            cond = jnp.concatenate([cond_lat, mlat], axis=-1)
+            z = self.dif.sample(
+                lambda p, zz, s, c: self.model.apply(
+                    p, zz, s, c, method=self.model.denoise),
+                params, rng, cond_lat.shape, self.cfg, cond)
+            out = self.model.apply(params, z, method=self.model.decode)
+            disp = out.mean(axis=-1)  # 1-ch relative disparity
+            return jax.image.resize(disp, (t, h, w), "bilinear")
+
+        self._rng, sub = jax.random.split(self._rng)
+        return robust_call(run, self._params, sub, jnp.asarray(frames_u8))
+
+    def infer_video(self, frames_u8, reference_depth):
+        t = frames_u8.shape[0]
+        disps = []
+        start = 0
+        step = max(self.window - self.overlap, 1)
+        while start < t:
+            idx = np.clip(np.arange(start, start + self.window), 0, t - 1)
+            d = self.infer_window(frames_u8[idx])
+            n_new = min(self.window, t - start)
+            disps.append(d[:n_new])
+            if start + self.window >= t:
+                break
+            start += step
+        disp = vd.stitch_windows(disps, self.window, self.overlap, t) \
+            if len(disps) > 1 else disps[0][:t]
+        # re-metricize against the reference depth video (:200-227)
+        s, sh = to_host(jax.jit(solvers.scale_and_shift)(
+            jnp.asarray(disp),
+            1.0 / jnp.maximum(jnp.asarray(reference_depth[:t]), 1e-3)))
+        inv = disp * float(s) + float(sh)
+        depth = 1.0 / np.maximum(inv, 1e-6)
+        depth[inv <= 0] = self.max_depth
+        return np.clip(depth, 0, self.max_depth).astype(np.float32)
+
+
+@register_engine("depthcrafter")
+def run_depthcrafter(color_video, max_depth=100.0, max_frames=-1,
+                     engine=None, reference_depth_video=None, **kw):
+    if reference_depth_video is None:
+        raise ValueError("depthcrafter engine requires a reference depth "
+                         "video for metric alignment "
+                         "(reference depthcrafter_video.py:200)")
+    eng = engine or DepthCrafterEngine(max_depth=max_depth, **kw)
+    frames, fps = vio.read_video_frames(color_video, max_frames=max_frames)
+    r = vio.DepthVideoReader(reference_depth_video, max_depth)
+    ref = r.read_depth_batch(frames.shape[0])
+    r.close()
+    depth = eng.infer_video(frames, ref)
+    out = color_video + "_depth.mkv"
+    vio.save_depth_video(depth, out, fps, max_depth)
+    return out
+
+
+_ENGINE_CLASSES["da3"] = DA3PipelineEngine
+_ENGINE_CLASSES["depthcrafter"] = DepthCrafterEngine

@@ -1,0 +1,275 @@
+"""Exporter / triangulator: depth video -> grayscale exports, per-frame
+point clouds & meshes, multi-ray triangulated clouds, rescaled depth.
+
+Capability parity with reference
+``convert_metric_depth_video_to_other_format.py`` (call stack SURVEY.md
+§3.5):
+
+  pass 1: per frame, decode depth -> unproject (+transform) -> collect
+          per-track camera origins + rays + colors (:688-730); optional
+          .ply/.obj per-frame exports
+  pass 2: per track with >= min observations, weighted multi-ray
+          intersection with angle-diversity weights (:794-828) ->
+          *_triangulated.ply + *_avgmonodepth.ply
+  pass 3: optional depth rescaling to the triangulated truth: per-frame
+          mean-ratio scale (:884-891) or global inverse-depth scale+shift
+          (:895-931) -> *_rescaled.mkv
+
+TPU-first: rays for ALL tracks of a frame batch are gathered with one
+device program; the per-track intersections run as one vmapped solve over
+a dense (tracks, max_obs) tensor instead of the reference's per-track
+Python loop. Union-find near-point merging stays on host (tiny).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from metric_depth_video_toolbox_tpu.io import pointcloud as pcio
+from metric_depth_video_toolbox_tpu.io import sidecar
+from metric_depth_video_toolbox_tpu.io import video as vio
+from metric_depth_video_toolbox_tpu.ops import codec
+from metric_depth_video_toolbox_tpu.ops import geometry as geo
+from metric_depth_video_toolbox_tpu.ops import solvers
+from metric_depth_video_toolbox_tpu.utils.host import robust_call, to_host
+
+
+@jax.jit
+def _frame_rays(depth, pts_2d, valid, k, transform):
+    """For one frame: camera origin + world-space rays through each track
+    point, plus the world-space 3D point at the tracked depth."""
+    z = depth[jnp.clip(jnp.round(pts_2d[:, 1]).astype(jnp.int32), 0,
+                       depth.shape[0] - 1),
+              jnp.clip(jnp.round(pts_2d[:, 0]).astype(jnp.int32), 0,
+                       depth.shape[1] - 1)]
+    p3 = geo.unproject_2d_points(pts_2d, z, k)
+    world = geo.transform_points(p3[None], transform)[0]
+    origin = transform[:3, 3]
+    rays = world - origin
+    rays = rays / (jnp.linalg.norm(rays, axis=-1, keepdims=True) + 1e-12)
+    ok = valid * (z > 1e-4)
+    return origin, rays, world, z, ok
+
+
+def export_video(depth_video, tracking_file=None, transformation_file=None,
+                 color_video=None, xfov=None, yfov=None, max_depth=100.0,
+                 max_frames=-1, save_ply_every=0, save_obj_every=0,
+                 min_observations=10, triangulate=False,
+                 save_rescaled_depth=False, global_align=False,
+                 grayscale=False, bit16_grayscale=False,
+                 remove_edges=True, output_prefix=None, max_tracks=8192):
+    """Multi-purpose exporter. Returns a dict of produced paths."""
+    out = {}
+    prefix = output_prefix or depth_video
+    dv = vio.VideoReader(depth_video, max_frames=max_frames)
+    cv = vio.VideoReader(color_video) if color_video else None
+    h, w = dv.height, dv.width
+    k = jnp.asarray(np.asarray(geo.camera_matrix_from_fov(
+        w, h, xfov_deg=xfov, yfov_deg=yfov), np.float32)) \
+        if (xfov or yfov) else jnp.asarray(np.asarray(
+            geo.camera_matrix_from_fov(w, h, xfov_deg=50.0), np.float32))
+
+    transforms = None
+    if transformation_file:
+        transforms = sidecar.load_transformations(transformation_file)
+
+    dense = None
+    if tracking_file:
+        frames_tr = sidecar.load_tracking(tracking_file)
+        dense, _ = sidecar.tracking_to_dense(frames_tr,
+                                             max_tracks=max_tracks)
+
+    dec = jax.jit(lambda rgb: codec.decode_depth_frame(
+        rgb, max_depth, average_rg=True))
+
+    # accumulators for triangulation: per track, per observation
+    track_origins = []
+    track_rays = []
+    track_world = []
+    track_valid = []
+    all_depths = []  # only kept if rescaling needs a second pass
+
+    gray_writer = None
+    if grayscale:
+        gpath = prefix + ("_grayscale16.mkv" if bit16_grayscale
+                          else "_grayscale.mkv")
+        gray_writer = vio.VideoWriter(gpath, dv.fps, w, h)
+        out["grayscale"] = gpath
+
+    fr_n = 0
+    while True:
+        rgb = dv.read_batch(1)
+        if rgb is None:
+            break
+        depth = dec(jnp.asarray(rgb[0]))
+        col = None
+        if cv is not None:
+            cb = cv.read_batch(1)
+            col = cb[0] if cb is not None else None
+        m = jnp.asarray(transforms[fr_n]) if transforms is not None \
+            else jnp.eye(4)
+
+        if dense is not None and fr_n < dense.shape[0]:
+            tr = dense[fr_n]
+            origin, rays, world, z, ok = [
+                np.asarray(v) for v in _frame_rays(
+                    depth, jnp.asarray(tr[:, :2]), jnp.asarray(tr[:, 2]),
+                    k, m)]
+            track_origins.append(origin)
+            track_rays.append(rays)
+            track_world.append(world)
+            track_valid.append(ok)
+
+        if save_ply_every and fr_n % save_ply_every == 0:
+            pts = geo.transform_depth_map(
+                geo.unproject_depth(depth, k), m).reshape(-1, 3)
+            cols = (col.reshape(-1, 3) if col is not None else None)
+            pcio.write_ply(f"{prefix}_frame{fr_n:06d}.ply", to_host(pts),
+                           cols)
+            out.setdefault("ply_frames", []).append(
+                f"{prefix}_frame{fr_n:06d}.ply")
+        if save_obj_every and fr_n % save_obj_every == 0:
+            from metric_depth_video_toolbox_tpu.ops import rasterize
+            pts3 = geo.unproject_depth(depth, k, of_by_one=True)
+            keep = None
+            if remove_edges:
+                keep = ~to_host(rasterize.cell_edge_mask(pts3))
+            world_pts = to_host(geo.transform_depth_map(pts3, m))
+            faces = pcio.grid_mesh_faces(h, w, keep=keep)
+            pcio.write_obj(f"{prefix}_frame{fr_n:06d}.obj",
+                           world_pts.reshape(-1, 3), faces,
+                           (col.reshape(-1, 3) / 255.0
+                            if col is not None else None))
+            out.setdefault("obj_frames", []).append(
+                f"{prefix}_frame{fr_n:06d}.obj")
+
+        if gray_writer is not None:
+            d = to_host(depth)
+            if bit16_grayscale:
+                g16 = np.clip(d / max_depth * 65535.0, 0,
+                              65535).astype(np.uint16)
+                g8 = (g16 >> 8).astype(np.uint8)
+            else:
+                g8 = np.clip(d / max_depth * 255.0, 0, 255).astype(np.uint8)
+            gray_writer.write(np.stack([g8, g8, g8], axis=-1))
+
+        if save_rescaled_depth:
+            all_depths.append(to_host(depth))
+        fr_n += 1
+
+    dv.close()
+    if cv is not None:
+        cv.close()
+    if gray_writer is not None:
+        gray_writer.commit(fr_n)
+
+    tri_points = None
+    tri_valid_mask = None
+    if triangulate and dense is not None and track_origins:
+        t_frames = len(track_origins)
+        n_tracks = dense.shape[1]
+        origins = np.broadcast_to(
+            np.stack(track_origins)[:, None, :], (t_frames, n_tracks, 3))
+        rays = np.stack(track_rays)          # (T, N, 3)
+        valid = np.stack(track_valid)        # (T, N)
+        world = np.stack(track_world)        # (T, N, 3)
+
+        obs_count = valid.sum(0)
+        good = obs_count >= min_observations
+
+        # (N, T, ...) layout for vmapped per-track solves
+        o = jnp.asarray(origins.transpose(1, 0, 2))
+        r = jnp.asarray(rays.transpose(1, 0, 2))
+        v = jnp.asarray(valid.transpose(1, 0))
+        tri = to_host(jax.jit(jax.vmap(solvers.intersect_rays,
+                                       in_axes=(0, 0, None, 0)))(
+            o, r, None, v))
+        tri_points = tri[good]
+        tri_valid_mask = good
+        avg_mono = np.zeros_like(tri)
+        vsum = np.maximum(valid.sum(0), 1)[:, None]
+        avg_mono = (world * valid[..., None]).sum(0) / vsum
+
+        tri_path = prefix + "_triangulated.ply"
+        avg_path = prefix + "_avgmonodepth.ply"
+        pcio.write_ply(tri_path, tri_points)
+        pcio.write_ply(avg_path, avg_mono[good])
+        out["triangulated"] = tri_path
+        out["avgmonodepth"] = avg_path
+
+        if save_rescaled_depth and all_depths:
+            out["rescaled"] = _rescale_depth_video(
+                prefix, all_depths, dense, tri, good, k, transforms,
+                max_depth, dv.fps, global_align)
+    return out
+
+
+def _rescale_depth_video(prefix, depths, dense, tri_points, good, k,
+                         transforms, max_depth, fps, global_align):
+    """Pass 3: rescale the mono depth video so tracked points agree with
+    their triangulated positions (reference :884-931)."""
+    t_frames = len(depths)
+    path = prefix + "_rescaled.mkv"
+    h, w = depths[0].shape
+
+    # per-frame reference depth of each triangulated track: project the
+    # triangulated point into the frame's camera and compare z
+    scales = np.ones(t_frames, np.float32)
+    ratios_all = []
+    for fi in range(t_frames):
+        m = transforms[fi] if transforms is not None else np.eye(4)
+        w2c = np.linalg.inv(m)
+        pts_cam = tri_points[good] @ w2c[:3, :3].T + w2c[:3, 3]
+        tr = dense[fi][good]
+        ok = tr[:, 2] > 0
+        if ok.sum() < 4:
+            ratios_all.append(None)
+            continue
+        xi = np.clip(np.round(tr[ok, 0]).astype(int), 0, w - 1)
+        yi = np.clip(np.round(tr[ok, 1]).astype(int), 0, h - 1)
+        mono_z = depths[fi][yi, xi]
+        ref_z = pts_cam[ok][:, 2]
+        sel = (mono_z > 1e-3) & (ref_z > 1e-3)
+        if sel.sum() < 4:
+            ratios_all.append(None)
+            continue
+        ratios_all.append((ref_z[sel], mono_z[sel]))
+        scales[fi] = float(np.mean(ref_z[sel] / mono_z[sel]))
+
+    if global_align:
+        pairs = [r for r in ratios_all if r is not None]
+        refs = np.concatenate([p[0] for p in pairs])
+        monos = np.concatenate([p[1] for p in pairs])
+        s, t = solvers.scale_and_shift(
+            jnp.asarray(1.0 / np.maximum(monos, 1e-3)),
+            jnp.asarray(1.0 / np.maximum(refs, 1e-3)))
+        s, t = float(s), float(t)
+        frames_out = [1.0 / np.maximum(
+            (1.0 / np.maximum(d, 1e-3)) * s + t, 1e-6) for d in depths]
+    else:
+        frames_out = [d * scales[i] for i, d in enumerate(depths)]
+
+    vio.save_depth_video(np.stack(frames_out), path, fps, max_depth)
+    return path
+
+
+def merge_near_points(points, colors=None, radius=0.003):
+    """Union-find merge of near points (reference :148-207) — host-side,
+    voxel-hash accelerated."""
+    pts = np.asarray(points, np.float32)
+    keys = np.floor(pts / radius).astype(np.int64)
+    _, inverse = np.unique(keys, axis=0, return_inverse=True)
+    n_cells = inverse.max() + 1
+    sums = np.zeros((n_cells, 3), np.float64)
+    counts = np.zeros(n_cells, np.int64)
+    np.add.at(sums, inverse, pts)
+    np.add.at(counts, inverse, 1)
+    merged = (sums / counts[:, None]).astype(np.float32)
+    if colors is None:
+        return merged, None
+    cols = np.asarray(colors, np.float64)
+    csum = np.zeros((n_cells, cols.shape[1]), np.float64)
+    np.add.at(csum, inverse, cols)
+    return merged, (csum / counts[:, None]).astype(colors.dtype)

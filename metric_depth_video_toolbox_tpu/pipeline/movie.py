@@ -1,0 +1,271 @@
+"""Movie orchestrator: full 2D movie -> SBS 3D (reference movie_2_3D.py).
+
+Seven steps with the reference's file contract and resume-by-existence
+semantics (plan_scene_files 'finished' flags, movie_2_3D.py:244-280):
+
+  1. split source into per-scene FFV1 clips (atomic commit)
+  2. estimate depth per scene (batched: one engine instance for the movie)
+  3. generate subject masks
+  4. find convergence depths
+  5. render SBS stereo per scene
+  6. disocclusion infill
+  7. concatenate into <movie>_SBS.mkv
+
+Re-design notes (TPU-first): the reference fans scenes out over
+subprocesses (movie_2_3D.py:41-59) because its unit of compute is a
+Python process. Here a single process drives the device with batched
+steps, host video I/O overlaps device compute via reader threads, and
+multi-chip/multi-host fan-out shards *scenes* over hosts through
+``parallel.scheduler``. Per-scene Engine/Infill/Convergence overrides via
+extra CSV columns are honored (movie_2_3D.py:264-267, 326-328).
+
+No ffmpeg binary is assumed: concat is cv2-based (lossless FFV1 or mp4),
+so audio passthrough — which the reference does with ffmpeg — is gated on
+an ffmpeg binary being present.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+
+from metric_depth_video_toolbox_tpu.io import sidecar
+from metric_depth_video_toolbox_tpu.io import video as vio
+from metric_depth_video_toolbox_tpu.pipeline import convergence as conv_stage
+from metric_depth_video_toolbox_tpu.pipeline import depth as depth_stage
+from metric_depth_video_toolbox_tpu.pipeline import masks as mask_stage
+from metric_depth_video_toolbox_tpu.pipeline import scenes as scene_mod
+from metric_depth_video_toolbox_tpu.pipeline import stereo as stereo_stage
+
+
+def plan_scene_files(scenes, output_dir, end_scene=-1):
+    """Attach per-scene paths + finished flags (movie_2_3D.py:244-280)."""
+    out = []
+    for scene in scenes:
+        num = str(scene["Scene Number"])
+        base = os.path.join(output_dir, f"scene_{num}.mkv")
+        scene["scene_video_file"] = base
+        scene["depth_video_file"] = base + "_depth.mkv"
+        scene["mask_video_file"] = base + "_mask.mkv"
+        scene["xfovs_file"] = scene["depth_video_file"] + "_xfovs.json"
+        scene["convergence_file"] = (scene["depth_video_file"]
+                                     + "_convergence_depths.json")
+        scene["sbs"] = scene["depth_video_file"] + "_stereo.mkv"
+        scene["sbs_infill"] = scene["sbs"] + "_infillmask.mkv"
+        scene["infilled"] = scene["sbs"] + "_infilled.mkv"
+        scene["infill"] = not scene.get("Infill", "") == "No"
+        scene["convergence"] = not scene.get("Convergence", "") == "No"
+        scene["finished"] = (os.path.exists(scene["sbs"])
+                             or os.path.exists(scene["infilled"]))
+        out.append(scene)
+        if end_scene != -1 and int(num) == end_scene:
+            break
+    return out
+
+
+def step1_create_scene_videos(color_video, scenes):
+    todo = [s for s in scenes if not s["finished"]
+            and not os.path.exists(s["scene_video_file"])]
+    if not todo:
+        return
+    reader = vio.VideoReader(color_video)
+    fps = reader.fps
+    it = iter(reader)
+    for scene in scenes:
+        n = int(scene["Length (frames)"])
+        need = (not scene["finished"]
+                and not os.path.exists(scene["scene_video_file"]))
+        writer = (vio.VideoWriter(scene["scene_video_file"], fps,
+                                  reader.width, reader.height)
+                  if need else None)
+        for _ in range(n):
+            try:
+                frame = next(it)
+            except StopIteration:
+                break
+            if writer is not None:
+                writer.write(frame)
+        if writer is not None:
+            writer.commit()
+    reader.close()
+
+
+def step2_estimate_depth(scenes, engine="vda", max_depth=100.0,
+                         engine_kwargs=None):
+    """Batched depth estimation: one engine instance per engine type for
+    the whole movie (the reference's .txt batching,
+    movie_2_3D.py:311-384)."""
+    by_engine = {}
+    for scene in scenes:
+        if scene["finished"] or vio.is_valid_video(scene["depth_video_file"]):
+            continue
+        eng = scene.get("Engine", "") or engine
+        if eng not in depth_stage.ENGINES:
+            eng = "vda" if eng in ("vda", "da3") else "single_frame"
+        by_engine.setdefault(eng, []).append(scene["scene_video_file"])
+    for eng, videos in by_engine.items():
+        depth_stage.run_batch(eng, _as_list(videos), max_depth=max_depth,
+                              **(engine_kwargs or {}))
+
+
+def _as_list(videos):
+    class _List(list):
+        pass
+    return videos if len(videos) > 1 else videos[0] if videos else []
+
+
+def step3_generate_masks(scenes, mask_engine=None):
+    eng = mask_engine
+    for scene in scenes:
+        if scene["finished"] or os.path.exists(scene["mask_video_file"]):
+            continue
+        if eng is None:
+            eng = mask_stage.MaskEngine()
+        mask_stage.generate_video_mask(scene["scene_video_file"],
+                                       output=scene["mask_video_file"],
+                                       engine=eng)
+
+
+def step4_find_convergence(scenes, max_depth=100.0):
+    for scene in scenes:
+        if (scene["finished"] or not scene["convergence"]
+                or os.path.exists(scene["convergence_file"])):
+            continue
+        if not os.path.exists(scene["depth_video_file"]):
+            continue
+        mask = (scene["mask_video_file"]
+                if os.path.exists(scene["mask_video_file"]) else None)
+        conv_stage.find_convergence_depths(
+            scene["depth_video_file"], mask_video=mask,
+            max_depth=max_depth, output=scene["convergence_file"])
+
+
+def step5_render_sbs(scenes, xfov=None, max_depth=100.0, infill_mask=True,
+                     batch_size=8, **stereo_kwargs):
+    for scene in scenes:
+        if scene["finished"] or os.path.exists(scene["sbs"]):
+            continue
+        conv = None
+        if scene["convergence"] and os.path.exists(scene["convergence_file"]):
+            conv = sidecar.load_convergence_depths(scene["convergence_file"])
+        xfovs = None
+        if os.path.exists(scene["xfovs_file"]):
+            xfovs = sidecar.load_xfovs(scene["xfovs_file"])
+        stereo_stage.render_stereo_video(
+            scene["depth_video_file"],
+            color_video=scene["scene_video_file"],
+            output=scene["sbs"], xfov=xfov if xfovs is None else None,
+            xfovs=xfovs, convergence_depths=conv, max_depth=max_depth,
+            infill_mask=infill_mask and scene["infill"],
+            batch_size=batch_size, **stereo_kwargs)
+
+
+def step6_infill(scenes, infill_engine="basic", **kw):
+    """Dispatch per-scene infill (movie_2_3D.py:454-503). 'none' skips;
+    'basic' = the in-house normal-march infill; diffusion engines come
+    from pipeline.infill_video."""
+    if infill_engine == "none":
+        return
+    from metric_depth_video_toolbox_tpu.pipeline import infill_video
+    for scene in scenes:
+        if not scene["infill"] or os.path.exists(scene["infilled"]):
+            continue
+        if not os.path.exists(scene["sbs"]):
+            continue
+        if not os.path.exists(scene["sbs_infill"]):
+            continue
+        infill_video.infill_sbs_video(
+            scene["sbs"], scene["sbs_infill"], output=scene["infilled"],
+            engine=infill_engine, color_video=scene["scene_video_file"],
+            **kw)
+
+
+def validate_video_lengths(scenes):
+    """Every scene output must match the CSV length
+    (movie_2_3D.py:70-100)."""
+    bad = []
+    for scene in scenes:
+        target = (scene["infilled"] if os.path.exists(scene["infilled"])
+                  else scene["sbs"])
+        if not os.path.exists(target):
+            bad.append((scene["Scene Number"], "missing"))
+            continue
+        n, _, _, _ = vio.video_info(target)
+        if n != int(scene["Length (frames)"]):
+            bad.append((scene["Scene Number"], f"{n} != "
+                        f"{scene['Length (frames)']}"))
+    return bad
+
+
+def step7_concat(scenes, color_video, output=None, compressed=False):
+    """Concatenate scene outputs into the final SBS movie. Lossless FFV1
+    via cv2; audio mux only if an ffmpeg binary exists (the reference
+    requires ffmpeg, movie_2_3D.py:702-778)."""
+    first = None
+    for scene in scenes:
+        target = (scene["infilled"] if os.path.exists(scene["infilled"])
+                  else scene["sbs"])
+        if os.path.exists(target):
+            first = target
+            break
+    if first is None:
+        raise RuntimeError("no rendered scenes to concatenate")
+    _, w, h, fps = vio.video_info(first)
+    output = output or (os.path.splitext(color_video)[0]
+                        + ("_SBS.mp4" if compressed else "_SBS.mkv"))
+    writer = vio.VideoWriter(output, fps, w, h,
+                             codec_fourcc="avc1" if compressed else "FFV1")
+    total = 0
+    for scene in scenes:
+        target = (scene["infilled"] if os.path.exists(scene["infilled"])
+                  else scene["sbs"])
+        if not os.path.exists(target):
+            continue
+        with vio.VideoReader(target) as r:
+            for frame in r:
+                writer.write(frame)
+                total += 1
+    writer.commit(total)
+
+    if shutil.which("ffmpeg"):
+        muxed = output + ".audio.mkv"
+        r = subprocess.run(
+            ["ffmpeg", "-y", "-i", output, "-i", color_video, "-map",
+             "0:v", "-map", "1:a?", "-c", "copy", muxed],
+            capture_output=True)
+        if r.returncode == 0 and os.path.getsize(muxed) > 0:
+            os.replace(muxed, output)
+    return output
+
+
+def movie_to_3d(color_video, output_dir=None, engine="vda",
+                infill_engine="basic", xfov=None, max_depth=100.0,
+                max_scene_frames=1500, scene_file=None, end_scene=-1,
+                batch_size=8, engine_kwargs=None, stereo_kwargs=None,
+                mask_engine=None, generate_masks=True):
+    """The full pipeline (reference movie_2_3D.main, :785-830).
+    Returns the final movie path. Fully resumable."""
+    output_dir = output_dir or (os.path.splitext(color_video)[0] + "_3d")
+    os.makedirs(output_dir, exist_ok=True)
+    scene_file = scene_mod.ensure_scene_file(color_video, output_dir,
+                                             scene_file)
+    scenes = scene_mod.split_scenes(scene_mod.read_scene_csv(scene_file),
+                                    max_scene_frames=max_scene_frames)
+    scenes = plan_scene_files(scenes, output_dir, end_scene)
+
+    step1_create_scene_videos(color_video, scenes)
+    step2_estimate_depth(scenes, engine=engine, max_depth=max_depth,
+                         engine_kwargs=engine_kwargs)
+    if generate_masks:
+        step3_generate_masks(scenes, mask_engine=mask_engine)
+    step4_find_convergence(scenes, max_depth=max_depth)
+    step5_render_sbs(scenes, xfov=xfov, max_depth=max_depth,
+                     batch_size=batch_size, **(stereo_kwargs or {}))
+    step6_infill(scenes, infill_engine=infill_engine)
+    bad = validate_video_lengths(scenes)
+    if bad:
+        raise RuntimeError(f"scene length validation failed: {bad}")
+    return step7_concat(scenes, color_video)

@@ -1,0 +1,453 @@
+"""Stereo rerenderer: depth+color video -> side-by-side 3D video.
+
+Capability parity with the reference's ``stereo_rerender.py`` (the CPU hot
+path, reference :471-944), re-designed as one fused device step per frame
+*batch*:
+
+    decode depth -> master-FOV scale -> unproject -> camera-motion cancel
+    -> per-eye (toe-in convergence + IPD offset) -> forward-warp z-buffer
+    -> edge-anchor splat -> infill-mask normals (border defaults + inpaint
+    + masked blur) -> optional normal-march infill -> SBS/Touchly/VR180
+    layout
+
+The reference renders each eye through Open3D on one frame at a time; here
+both eyes of B frames are one jit-compiled XLA program, vmapped over the
+(eye-interleaved) batch and shardable over a device mesh ('data' axis =
+frames). Host <-> device traffic is uint8 in, uint8 out.
+
+Output naming matches the reference:
+  <depth_video>_stereo.mkv            plain SBS
+  <depth_video>_Touchly0.mkv          3-panel stereo + depth
+  <depth_video>_Touchly1.mkv          mono over reversed 8-bit depth
+  <depth_video>_stereo.mkv_infillmask.mkv   normal-encoded infill masks
+  <depth_video>_stereo.mkv_depth.mkv        SBS depth video
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metric_depth_video_toolbox_tpu.ops import codec
+from metric_depth_video_toolbox_tpu.ops import geometry as geo
+from metric_depth_video_toolbox_tpu.ops import image as im
+from metric_depth_video_toolbox_tpu.ops import infill as infill_ops
+from metric_depth_video_toolbox_tpu.ops import rasterize
+from metric_depth_video_toolbox_tpu.utils.host import robust_call, to_host
+
+GREEN = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class StereoConfig:
+    """Static (compile-time) configuration of the stereo renderer."""
+    width: int
+    height: int
+    out_width: int
+    out_height: int
+    max_depth: float = 100.0
+    pupillary_distance_m: float = 0.063
+    remove_edges: bool = True
+    place_edge_points: bool = True
+    make_infill_mask: bool = False
+    green_and_black_infill_mask: bool = False
+    do_basic_infill: bool = False
+    touchly0: bool = False
+    touchly1: bool = False
+    touchly_max_depth: float = 5.0
+    touchly_min_depth: float = 0.0
+    vr180: bool = False
+    subsample: int = 2
+    infill_march_steps: int = 400
+    inpaint_iters: int = 48
+
+
+# ---------------------------------------------------------------------------
+# Device step (single frame; vmapped over the batch)
+# ---------------------------------------------------------------------------
+
+def _touchly_depth8(depth, mask, cfg: StereoConfig):
+    """Reverse 8-bit depth panel (reference stereo_rerender.py:548-552,
+    677-702): clip to [min,max], scale to 0..255, unrendered pixels -> far,
+    then invert."""
+    rng = cfg.touchly_max_depth - cfg.touchly_min_depth
+    d8 = jnp.rint(jnp.maximum(
+        0.0, jnp.minimum(depth, cfg.touchly_max_depth)
+        - cfg.touchly_min_depth) * (255.0 / rng))
+    d8 = jnp.where(mask, d8, 0.0)
+    d8 = jnp.where(d8 == 0, 255.0, d8)
+    d8 = 255.0 - d8
+    return jnp.repeat(d8[..., None].astype(jnp.uint8), 3, axis=-1)
+
+
+def _border_default_normals(mask_img, hole):
+    """Screen-edge holes get inward-pointing default normals so infill pulls
+    from inside the frame (reference stereo_rerender.py:796-799)."""
+    h, w = hole.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    # value layout: encoded normal (n+1)/2 in RGB
+    right_n = jnp.array([1.0, 0.5, 0.5], jnp.float32)   # points +x
+    left_n = jnp.array([0.0, 0.5, 0.5], jnp.float32)    # points -x
+    down_n = jnp.array([0.5, 0.5, 0.0], jnp.float32)
+    up_n = jnp.array([0.5, 0.5, 1.0], jnp.float32)
+    out = mask_img
+    out = jnp.where(((col == 0) & hole)[..., None], right_n, out)
+    out = jnp.where(((col == w - 1) & hole)[..., None], left_n, out)
+    out = jnp.where(((row == 0) & hole)[..., None], down_n, out)
+    out = jnp.where(((row == h - 1) & hole)[..., None], up_n, out)
+    return out
+
+
+def render_eye(depth, color, k, render_k, transform, eye_shift_m,
+               conv_angle, cfg: StereoConfig):
+    """Render one eye of one frame. Returns (image f32 [0,1], depth f32,
+    infill-mask normals image f32, hole mask bool)."""
+    sign = jnp.where(eye_shift_m < 0, -1.0, 1.0)  # left eye: shift -x
+    # mesh-space equivalent of the reference's rotate(-conv);translate(+ipd/2)
+    m_eye = geo.translation_matrix(-eye_shift_m, 0.0, 0.0) @ \
+        geo.rotation_y(sign * conv_angle) @ transform
+
+    res = rasterize.forward_warp(
+        depth, color, k, render_k, m_eye,
+        (cfg.out_height, cfg.out_width),
+        subsample=cfg.subsample,
+        remove_edges=cfg.remove_edges,
+        of_by_one=True)
+    hole = ~res.mask
+    image = jnp.where(hole[..., None], 0.0, res.color)
+
+    mask_img = jnp.zeros((cfg.out_height, cfg.out_width, 3), jnp.float32)
+    mask_img = jnp.where(hole[..., None], GREEN, mask_img)
+
+    if cfg.place_edge_points and cfg.remove_edges:
+        # Edge anchors: the culled silhouette pixels, splatted into holes so
+        # diffusion infill has color/normal seeds
+        # (reference stereo_rerender.py:589-607, 745-814).
+        pts_cam = geo.unproject_depth(depth, k, of_by_one=False)
+        normals = geo.normals_from_depth(depth, k)
+        pts_t = geo.transform_depth_map(pts_cam, m_eye)
+        rot = m_eye[:3, :3]
+        normals_t = jnp.einsum("ij,hwj->hwi", rot, normals)
+        valid = res.edge_mask & (depth > 1e-4)
+        n = cfg.height * cfg.width
+        payload = jnp.concatenate([color, normals_t], axis=-1).reshape(n, 6)
+        pts_flat = pts_t.reshape(n, 3)
+        # invalidate non-edge points by pushing z behind the camera
+        pts_flat = jnp.where(valid.reshape(n, 1), pts_flat,
+                             jnp.array([0.0, 0.0, -1.0]))
+        anchor, _, amask = rasterize.splat_points(
+            pts_flat, payload, render_k,
+            (cfg.out_height, cfg.out_width))
+        write = amask & hole
+        image = jnp.where(write[..., None], anchor[..., :3], image)
+        if not cfg.green_and_black_infill_mask:
+            a_n = anchor[..., 3:]
+            a_n = a_n / (jnp.linalg.norm(a_n, axis=-1, keepdims=True) + 1e-8)
+            mask_img = jnp.where(write[..., None], (a_n + 1.0) / 2.0,
+                                 mask_img)
+
+    if cfg.make_infill_mask or cfg.do_basic_infill:
+        if not cfg.green_and_black_infill_mask:
+            mask_img = _border_default_normals(mask_img, hole)
+            # pixels still green (no anchor/border normal) or black get
+            # normals diffused in from the seeded ones
+            # (reference stereo_rerender.py:806-808: TELEA + masked blur)
+            is_green = jnp.all(mask_img == GREEN, axis=-1)
+            is_black = jnp.all(mask_img == 0.0, axis=-1)
+            filled = im.inpaint_diffusion(mask_img, is_green | is_black,
+                                          iterations=cfg.inpaint_iters)
+            mask_img = jnp.where(is_green[..., None], filled, mask_img)
+            keep = ~jnp.all(mask_img == 0.0, axis=-1)
+            mask_img = im.masked_blur(mask_img, ksize=5, valid_mask=keep)
+            # non-hole pixels stay black in the emitted mask
+            mask_img = jnp.where(hole[..., None], mask_img, 0.0)
+
+    if cfg.do_basic_infill:
+        image = infill_ops.normal_march_infill(
+            image, hole, mask_img * 2.0 - 1.0,
+            max_steps=cfg.infill_march_steps)
+
+    return image, res.depth, mask_img, hole
+
+
+def stereo_frame(depth_rgb, color, k, render_k, transform, conv_depth,
+                 master_scale, cfg: StereoConfig):
+    """Full per-frame stereo step (both eyes). All inputs device arrays:
+
+    depth_rgb: (H, W, 3) uint8 RGB-encoded depth frame
+    color:     (H, W, 3) uint8
+    k/render_k: (3, 3)
+    transform: (4, 4) camera-motion cancel (identity if none)
+    conv_depth: scalar convergence distance in meters (0 = none)
+    master_scale: scalar depth scale for master FOV (1 = none)
+    """
+    depth = codec.decode_depth_frame(depth_rgb, cfg.max_depth) * master_scale
+    colf = color.astype(jnp.float32) / 255.0
+
+    conv_d = conv_depth * master_scale
+    conv = jnp.where(conv_d > 0,
+                     geo.convergence_angle(conv_d, cfg.pupillary_distance_m),
+                     0.0)
+    half = cfg.pupillary_distance_m / 2.0
+
+    if cfg.touchly1:
+        # mono render over reversed depth panel (reference :548-552,677-702)
+        img, dep, mask_img, hole = render_eye(
+            depth, colf, k, render_k, transform, 0.0, 0.0, cfg)
+        depth_panel = _touchly_depth8(dep, ~hole, cfg)
+        image = jnp.concatenate(
+            [(img * 255).astype(jnp.uint8), depth_panel], axis=0)
+        mask_out = jnp.concatenate(
+            [(mask_img * 255).astype(jnp.uint8),
+             jnp.zeros_like(depth_panel)], axis=0)
+        return {"image": image, "infill_mask": mask_out,
+                "depth_left": dep, "depth_right": dep}
+
+    left_img, left_dep, left_mask, _ = render_eye(
+        depth, colf, k, render_k, transform, -half, conv, cfg)
+    right_img, right_dep, right_mask, _ = render_eye(
+        depth, colf, k, render_k, transform, +half, conv, cfg)
+
+    panels = [(left_img * 255).astype(jnp.uint8),
+              (right_img * 255).astype(jnp.uint8)]
+    mask_panels = [(left_mask * 255).astype(jnp.uint8),
+                   (right_mask * 255).astype(jnp.uint8)]
+    if cfg.touchly0:
+        dpanel = _touchly_depth8(left_dep, left_dep < rasterize.INF_DEPTH,
+                                 cfg)
+        panels.append(dpanel)
+        mask_panels.append(jnp.zeros_like(dpanel))
+
+    image = jnp.concatenate(panels, axis=1)
+    mask_out = jnp.concatenate(mask_panels, axis=1)
+    return {"image": image, "infill_mask": mask_out,
+            "depth_left": left_dep, "depth_right": right_dep}
+
+
+def equirect_maps(h, w, input_fov_deg):
+    """Precompute the VR180 rectilinear->equirect sampling grid
+    (reference convert_to_equirectangular, stereo_rerender.py:25-86)."""
+    cx = (w - 1) / 2.0
+    cy = (h - 1) / 2.0
+    gx, gy = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    theta = (gx - cx) / cx * (np.pi / 2)
+    phi = (gy - cy) / cy * (np.pi / 2)
+    half = math.radians(input_fov_deg / 2.0)
+    fx = cx / math.tan(half)
+    fy = cy / math.tan(half)
+    valid = (np.abs(theta) <= half) & (np.abs(phi) <= half)
+    map_x = np.where(valid, fx * np.tan(theta) + cx, -10.0)
+    map_y = np.where(valid, fy * np.tan(phi) + cy, -10.0)
+    return np.stack([map_x, map_y], axis=-1).astype(np.float32)
+
+
+def apply_equirect(img_u8, xy_map):
+    out = im.bilinear_sample(img_u8.astype(jnp.float32), xy_map, fill=0.0)
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Host driver
+# ---------------------------------------------------------------------------
+
+def smooth_convergence(values):
+    """NaN-fill + tail-extended Savitzky-Golay smoothing of per-frame
+    convergence depths (reference stereo_rerender.py:244-268)."""
+    from scipy.signal import savgol_filter
+    v = np.asarray(values, np.float64).copy()
+    nans = np.isnan(v)
+    if nans.all():
+        return np.zeros_like(v)
+    if nans.any():
+        idx = np.arange(v.size)
+        good = idx[~nans]
+        v[nans] = v[good[np.abs(good[None, :] - idx[nans, None]).argmin(1)]]
+    n_tail = min(50, v.size)
+    ext = np.concatenate([v, v[-n_tail:]])
+    wl = min(100, ext.size)
+    if wl % 2 == 0:
+        wl -= 1
+    if wl >= 3:
+        sm = savgol_filter(ext, window_length=wl, polyorder=min(2, wl - 1))
+        v = sm[:-n_tail] if n_tail else sm
+    return v
+
+
+def render_stereo_video(depth_video, color_video=None, output=None,
+                        xfov=None, yfov=None, xfovs=None,
+                        transformations=None, convergence_depths=None,
+                        master_xfov=45.0, max_depth=100.0,
+                        pupillary_distance_mm=63.0, max_frames=-1,
+                        batch_size=8, infill_mask=False, vr180=False,
+                        touchly0=False, touchly1=False, remove_edges=True,
+                        do_basic_infill=False, place_edge_points=True,
+                        green_and_black_infill_mask=False,
+                        create_sbs_depth=False, touchly_max_depth=5.0,
+                        touchly_min_depth=0.0,
+                        transformation_lock_frame=0):
+    """Stream a depth(+color) video through the device stereo step.
+
+    Mirrors the reference CLI semantics (stereo_rerender.py argparse,
+    :271-345) including output naming. Returns the output path.
+    """
+    from metric_depth_video_toolbox_tpu.io import video as vio
+
+    dv = vio.VideoReader(depth_video, max_frames=max_frames)
+    cv = vio.VideoReader(color_video) if color_video else None
+    if cv is not None and (cv.width != dv.width or cv.height != dv.height):
+        raise ValueError("depth video and color video must have the same size")
+
+    h, w = dv.height, dv.width
+    out_w, out_h = w, h
+    render_fov = None
+    if touchly0:
+        vr180 = True
+    if vr180:
+        out_w = out_h = 1920
+
+    cfg = StereoConfig(
+        width=w, height=h, out_width=out_w, out_height=out_h,
+        max_depth=max_depth,
+        pupillary_distance_m=pupillary_distance_mm / 1000.0,
+        remove_edges=remove_edges, place_edge_points=place_edge_points,
+        make_infill_mask=infill_mask,
+        green_and_black_infill_mask=green_and_black_infill_mask,
+        do_basic_infill=do_basic_infill, touchly0=touchly0,
+        touchly1=touchly1, touchly_max_depth=touchly_max_depth,
+        touchly_min_depth=touchly_min_depth, vr180=vr180)
+
+    if touchly1:
+        suffix, out_size = "_Touchly1.mkv", (w, h * 2)
+    elif touchly0:
+        suffix, out_size = "_Touchly0.mkv", (out_w * 3, out_h)
+    else:
+        suffix, out_size = "_stereo.mkv", (out_w * 2, out_h)
+    output = output or (depth_video + suffix)
+
+    if transformations is not None:
+        transformations = np.asarray(transformations, np.float32)
+        if transformation_lock_frame != 0:
+            ref_inv = np.linalg.inv(
+                transformations[transformation_lock_frame])
+            transformations = transformations @ ref_inv
+
+    if convergence_depths is not None:
+        convergence_depths = smooth_convergence(convergence_depths)
+
+    step = jax.jit(
+        jax.vmap(partial(stereo_frame, cfg=cfg),
+                 in_axes=(0, 0, 0, 0, 0, 0, 0)))
+
+    eq_map = None
+
+    writer = vio.VideoWriter(output, dv.fps, *out_size)
+    mask_writer = (vio.VideoWriter(output + "_infillmask.mkv", dv.fps,
+                                   *out_size) if infill_mask else None)
+    depth_writer = (vio.VideoWriter(output + "_depth.mkv", dv.fps,
+                                    out_w * 2, out_h)
+                    if create_sbs_depth else None)
+
+    frame_n = 0
+    total = dv.frame_count if max_frames < 0 else min(max_frames,
+                                                      dv.frame_count)
+    enc_depth = jax.jit(lambda d: codec.encode_depth_frame(d, max_depth))
+    try:
+        while True:
+            depth_rgb = dv.read_batch(batch_size)
+            if depth_rgb is None:
+                break
+            b = depth_rgb.shape[0]
+            color = (cv.read_batch(b) if cv is not None else depth_rgb)
+            if color is None or color.shape[0] < b:
+                break
+
+            ks, rks, tfs, convs, scales = [], [], [], [], []
+            for i in range(b):
+                fi = frame_n + i
+                xf = xfovs[fi] if xfovs is not None else xfov
+                k = np.asarray(geo.camera_matrix_from_fov(
+                    w, h, xfov_deg=xf, yfov_deg=yf_or_none(xf, yfov)))
+                rk = k
+                frame_master = master_xfov
+                if vr180:
+                    fx, fy = geo.fov_from_camera_matrix(jnp.asarray(k))
+                    render_fov = max(75.0, float(fx), float(fy))
+                    frame_master = render_fov
+                    rk = np.asarray(geo.camera_matrix_from_fov(
+                        out_w, out_h, xfov_deg=render_fov,
+                        yfov_deg=render_fov))
+                scale_disp = (math.tan(math.radians(frame_master / 2))
+                              / math.tan(math.radians(
+                                  xf if xf else master_xfov) / 2))
+                scales.append(1.0 / scale_disp)
+                ks.append(k)
+                rks.append(rk)
+                tfs.append(transformations[fi] if transformations is not None
+                           else np.eye(4, dtype=np.float32))
+                convs.append(float(convergence_depths[fi])
+                             if convergence_depths is not None else 0.0)
+
+            out = robust_call(step, jnp.asarray(depth_rgb), jnp.asarray(color),
+                       jnp.asarray(np.stack(ks), jnp.float32),
+                       jnp.asarray(np.stack(rks), jnp.float32),
+                       jnp.asarray(np.stack(tfs), jnp.float32),
+                       jnp.asarray(np.asarray(convs), jnp.float32),
+                       jnp.asarray(np.asarray(scales), jnp.float32))
+            images = out["image"]
+            masks = out["infill_mask"]
+
+            if vr180 and render_fov is not None:
+                if eq_map is None:
+                    eq_map = jnp.asarray(equirect_maps(out_h, out_w,
+                                                       render_fov))
+                images = _equirect_batch(images, eq_map, touchly0)
+                if infill_mask:
+                    masks = _equirect_batch(masks, eq_map, touchly0)
+
+            for i in range(images.shape[0]):
+                writer.write(images[i])
+                if mask_writer is not None:
+                    mask_writer.write(masks[i])
+            if depth_writer is not None:
+                dl = to_host(enc_depth(jnp.asarray(out["depth_left"])))
+                dr = to_host(enc_depth(jnp.asarray(out["depth_right"])))
+                for i in range(dl.shape[0]):
+                    depth_writer.write(
+                        np.concatenate([dl[i], dr[i]], axis=1))
+            frame_n += b
+            if 0 <= max_frames <= frame_n:
+                break
+    finally:
+        dv.close()
+        if cv is not None:
+            cv.close()
+    writer.commit(min(frame_n, total) if total else frame_n)
+    if mask_writer is not None:
+        mask_writer.commit(frame_n)
+    if depth_writer is not None:
+        depth_writer.commit(frame_n)
+    return output
+
+
+def yf_or_none(xf, yfov):
+    return yfov if xf is None else None
+
+
+def _equirect_batch(images_u8, eq_map, three_panel):
+    """Apply the equirect warp per eye panel of a batch of SBS frames."""
+    n_panels = 3 if three_panel else 2
+    ph = images_u8.shape[1]
+    pw = images_u8.shape[2] // n_panels
+    fn = jax.jit(jax.vmap(lambda p: apply_equirect(p, eq_map)))
+    panels = [to_host(fn(jnp.asarray(
+        images_u8[:, :, i * pw:(i + 1) * pw]))) for i in range(n_panels)]
+    del ph
+    return np.concatenate(panels, axis=2)

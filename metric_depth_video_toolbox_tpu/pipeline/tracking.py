@@ -1,0 +1,95 @@
+"""Point-tracking stage: color video -> ``*_tracking.json``.
+
+Reference ``track_points_in_video.py``: CoTracker3 over 120-frame clips,
+grid query points filtered by feature density, track identity carried
+across clip boundaries by re-seeding the nearest new grid point with the
+old global id (:215-243, :323-356). Same orchestration here, with the
+tracking core being the jitted pyramidal-LK scan (or CoTrackerLite) from
+``models.tracker`` — one device program per clip instead of per frame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from metric_depth_video_toolbox_tpu.io import sidecar
+from metric_depth_video_toolbox_tpu.io import video as vio
+from metric_depth_video_toolbox_tpu.models import tracker as trk
+from metric_depth_video_toolbox_tpu.utils.host import to_host
+
+
+def track_video(color_video, output=None, clip_len=120, grid=36,
+                max_frames=-1, engine="lk", reseed_radius=12.0,
+                save_viz=False, rng_seed=0):
+    """Track grid points through the whole video in overlapping clips.
+
+    Returns the tracking-json path. Track rows are [global_id, x, y] per
+    frame (reference :415-426).
+    """
+    frames, fps = vio.read_video_frames(color_video, max_frames=max_frames)
+    t_total, h, w = frames.shape[:3]
+    rng = np.random.default_rng(rng_seed)
+
+    out_frames = [[] for _ in range(t_total)]
+    next_gid = 0
+    prev_end_pts = None  # (N, 2) positions at the last frame of prev clip
+    prev_end_ids = None
+
+    start = 0
+    while start < t_total:
+        end = min(start + clip_len, t_total)
+        clip = frames[start:end]
+        pts, ok = trk.generate_grid_queries(clip[0], grid=grid, rng=rng)
+
+        # identity reseeding: grid points near a still-alive track from the
+        # previous clip inherit its global id (reference :215-243)
+        gids = -np.ones(pts.shape[0], np.int64)
+        if prev_end_pts is not None and prev_end_pts.shape[0]:
+            d2 = ((pts[:, None, :] - prev_end_pts[None]) ** 2).sum(-1)
+            nearest = d2.argmin(1)
+            near_ok = d2[np.arange(pts.shape[0]), nearest] < reseed_radius**2
+            taken = set()
+            for i in np.argsort(d2[np.arange(pts.shape[0]), nearest]):
+                j = nearest[i]
+                if near_ok[i] and ok[i] > 0 and j not in taken:
+                    gids[i] = prev_end_ids[j]
+                    taken.add(j)
+        fresh = (gids < 0) & (ok > 0)
+        gids[fresh] = np.arange(next_gid, next_gid + fresh.sum())
+        next_gid += int(fresh.sum())
+
+        traj, vis = trk.lk_track_clip(jnp.asarray(clip), jnp.asarray(pts),
+                                      jnp.asarray(ok))
+        traj = to_host(traj)
+        vis = to_host(vis)
+
+        for fi in range(end - start):
+            alive = (vis[fi] > 0) & (gids >= 0)
+            rows = np.stack([gids[alive].astype(np.float32),
+                             traj[fi, alive, 0], traj[fi, alive, 1]],
+                            axis=-1)
+            out_frames[start + fi] = rows
+
+        last_alive = (vis[-1] > 0) & (gids >= 0)
+        prev_end_pts = traj[-1, last_alive]
+        prev_end_ids = gids[last_alive]
+        if end == t_total:
+            break
+        start = end - 1  # 1-frame overlap carries identities
+
+    output = output or (color_video + "_tracking.json")
+    sidecar.save_tracking(output, [np.asarray(f, np.float32).reshape(-1, 3)
+                                   for f in out_frames])
+
+    if save_viz:
+        viz = frames.copy()
+        colors = rng.integers(64, 255, (next_gid + 1, 3))
+        for fi, rows in enumerate(out_frames):
+            for gid, x, y in np.asarray(rows).reshape(-1, 3):
+                xi, yi = int(x), int(y)
+                if 0 <= xi < w and 0 <= yi < h:
+                    viz[fi, max(0, yi - 1):yi + 2,
+                        max(0, xi - 1):xi + 2] = colors[int(gid) % len(colors)]
+        vio.save_rgb_video(viz, output + "_tracked.mkv", fps)
+    return output

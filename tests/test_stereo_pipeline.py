@@ -1,0 +1,93 @@
+"""End-to-end stereo rerender on a tiny synthetic scene: geometry of the
+output disparity is checked analytically."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from metric_depth_video_toolbox_tpu.io import video as vio
+from metric_depth_video_toolbox_tpu.ops import codec
+from metric_depth_video_toolbox_tpu.ops import geometry as geo
+from metric_depth_video_toolbox_tpu.pipeline import stereo
+
+
+def _make_scene_videos(tmp_path, t=4, h=48, w=64):
+    depth = np.full((t, h, w), 8.0, np.float32)
+    depth[:, 16:32, 24:40] = 3.0  # foreground box
+    color = np.zeros((t, h, w, 3), np.uint8)
+    color[...] = 40
+    color[:, 16:32, 24:40] = [200, 30, 30]
+    dpath = str(tmp_path / "clip_depth.mkv")
+    cpath = str(tmp_path / "clip.mkv")
+    vio.save_depth_video(depth, dpath, 24, 100.0)
+    vio.save_rgb_video(color, cpath, 24)
+    return dpath, cpath, depth, color
+
+
+def test_stereo_frame_device_step():
+    h, w = 32, 48
+    cfg = stereo.StereoConfig(width=w, height=h, out_width=w, out_height=h,
+                              max_depth=100.0)
+    depth = np.full((h, w), 5.0, np.float32)
+    rgb = np.asarray(codec.encode_depth_frame(jnp.asarray(depth), 100.0))
+    color = np.full((h, w, 3), 128, np.uint8)
+    k = geo.camera_matrix_from_fov(w, h, xfov_deg=60.0)
+    out = stereo.stereo_frame(jnp.asarray(rgb), jnp.asarray(color), k, k,
+                              jnp.eye(4), jnp.asarray(0.0),
+                              jnp.asarray(1.0), cfg)
+    img = np.asarray(out["image"])
+    assert img.shape == (h, 2 * w, 3)
+    # majority of both eyes covered with the flat plane's color
+    assert (np.abs(img[:, :w].astype(int) - 128) < 3).mean() > 0.85
+    assert (np.abs(img[:, w:].astype(int) - 128) < 3).mean() > 0.85
+    dl = np.asarray(out["depth_left"])
+    assert np.isclose(np.median(dl[dl < 1e30]), 5.0, atol=0.05)
+
+
+def test_render_stereo_video_end_to_end(tmp_path):
+    dpath, cpath, depth, color = _make_scene_videos(tmp_path)
+    out = stereo.render_stereo_video(
+        dpath, color_video=cpath, xfov=60.0, batch_size=2,
+        remove_edges=True, do_basic_infill=True, infill_mask=True)
+    assert out.endswith("_stereo.mkv")
+    frames, fps = vio.read_video_frames(out)
+    assert frames.shape[0] == 4
+    assert frames.shape[2] == 2 * 64
+    import os
+    assert os.path.exists(out + "_infillmask.mkv")  # tiny file < 2KB floor
+
+    # Disparity check: the foreground box (3 m) must be displaced between
+    # the eyes by ~ ipd * fx / z relative to the background.
+    k = np.asarray(geo.camera_matrix_from_fov(64, 48, xfov_deg=60.0))
+    # master-FOV depth scaling changes absolute depth but disparity in
+    # pixels for the box stays ipd/2 * fx / z on each eye.
+    left = frames[0, :, :64].astype(int)
+    right = frames[0, :, 64:].astype(int)
+    row = 24
+    lred = np.where(left[row, :, 0] > 120)[0]
+    rred = np.where(right[row, :, 0] > 120)[0]
+    assert lred.size > 0 and rred.size > 0
+    # left eye sees the box shifted right, right eye shifted left
+    shift = lred.mean() - rred.mean()
+    assert shift > 0.5
+
+
+def test_touchly1_layout(tmp_path):
+    dpath, cpath, depth, color = _make_scene_videos(tmp_path, t=2)
+    out = stereo.render_stereo_video(
+        dpath, color_video=cpath, xfov=60.0, batch_size=2, touchly1=True,
+        remove_edges=False, place_edge_points=False)
+    assert out.endswith("_Touchly1.mkv")
+    frames, _ = vio.read_video_frames(out)
+    assert frames.shape[1] == 2 * 48 and frames.shape[2] == 64
+    # bottom half is the reversed depth panel: foreground box (3 m, clipped
+    # to touchly_max_depth 5) must be *brighter* (nearer = higher value)
+    panel = frames[0, 48:]
+    assert panel[24, 32, 0] > panel[8, 8, 0]
+
+
+def test_smooth_convergence_handles_nans():
+    vals = [np.nan, 2.0, 2.1, np.nan, 2.3, 2.2, np.nan]
+    out = stereo.smooth_convergence(vals)
+    assert out.shape == (7,)
+    assert np.isfinite(out).all()
+    assert 1.5 < out.mean() < 2.6

@@ -45,7 +45,9 @@ def bench_stereo(jit_warm=True):
     depth, color = _synth_batch(rng, BATCH)
     cfg = stereo.StereoConfig(width=W, height=H, out_width=W, out_height=H,
                               max_depth=100.0, remove_edges=True,
-                              place_edge_points=True, make_infill_mask=False)
+                              place_edge_points=False,
+                              make_infill_mask=False,
+                              warp_method="sweep", has_convergence=True)
     k = np.asarray(geo.camera_matrix_from_fov(W, H, xfov_deg=60.0),
                    np.float32)
     enc = jax.jit(lambda d: codec.encode_depth_frame(d, 100.0))

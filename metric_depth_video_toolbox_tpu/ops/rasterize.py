@@ -32,6 +32,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from metric_depth_video_toolbox_tpu.ops import geometry as geo
@@ -179,6 +180,9 @@ def forward_warp(depth, color, k_src, k_dst, transform, out_hw,
     idx = jnp.concatenate(cand_idx)
     zc = jnp.concatenate(cand_z)
     colc = jnp.concatenate(cand_col)
+    # barrier: keep the scatters on the bulk runtime path (see
+    # _bilinear_gather note) instead of fused-serialized emitters
+    idx, zc, colc = jax.lax.optimization_barrier((idx, zc, colc))
 
     # Pass 1: z-buffer via scatter-min.
     zflat = zflat.at[idx].min(zc, mode="drop")
@@ -188,6 +192,7 @@ def forward_warp(depth, color, k_src, k_dst, transform, out_hw,
     zwin = zflat[jnp.minimum(idx, ht * wt)]
     winner = zc <= zwin * (1.0 + depth_tie_eps) + depth_tie_eps
     widx = jnp.where(winner, idx, ht * wt)
+    widx, colc = jax.lax.optimization_barrier((widx, colc))
     cflat = cflat.at[widx].set(colc, mode="drop")
 
     zout = zflat[:-1].reshape(ht, wt)
@@ -251,3 +256,244 @@ def splat_points(points_cam, payload, k, out_hw, radius=0,
     zout = zflat[:-1].reshape(ht, wt)
     mask = zout < INF_DEPTH
     return pflat[:-1].reshape(ht, wt, c), jnp.where(mask, zout, INF_DEPTH), mask
+
+
+# ---------------------------------------------------------------------------
+# Plane-sweep warp — the gather-only (scatter-free) TPU formulation
+# ---------------------------------------------------------------------------
+
+def _bilinear_gather(img, u, v, fill=0.0):
+    """Sample (H, W[, C]) at float coords; out-of-bounds -> fill.
+
+    The optimization_barrier is load-bearing: without it XLA:TPU fuses the
+    gather into the elementwise producer graph and emits a serialized
+    per-element loop (~1000x slower than the bulk gather runtime path —
+    measured 106 ms vs 0.06 ms for a 2M-point 4-tap sample at 1080p).
+    """
+    img, u, v = jax.lax.optimization_barrier((img, u, v))
+    h, w = img.shape[:2]
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    fu = u - u0
+    fv = v - v0
+
+    def tap(vi, ui):
+        ok = (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
+        val = img[jnp.clip(vi, 0, h - 1), jnp.clip(ui, 0, w - 1)]
+        if img.ndim == 3:
+            return jnp.where(ok[..., None], val, fill)
+        return jnp.where(ok, val, fill)
+
+    t00 = tap(v0, u0)
+    t01 = tap(v0, u0 + 1)
+    t10 = tap(v0 + 1, u0)
+    t11 = tap(v0 + 1, u0 + 1)
+    if img.ndim == 3:
+        fu = fu[..., None]
+        fv = fv[..., None]
+    return ((1 - fv) * ((1 - fu) * t00 + fu * t01)
+            + fv * ((1 - fu) * t10 + fu * t11))
+
+
+def plane_sweep_warp(depth, color, k_src, k_dst, transform, out_hw,
+                     num_planes=128, remove_edges=True,
+                     edge_angle_deg=89.0, of_by_one=True,
+                     min_depth=1e-2, tol_scale=2.0):
+    """Scatter-free re-rendering: for every TARGET pixel, sweep depth
+    hypotheses front-to-back, back-project into the source camera, and
+    accept the first hypothesis whose source depth agrees. All memory
+    traffic is gathers (bilinear samples of the source depth/color), which
+    the TPU streams well — unlike scatter z-buffers, which serialize.
+
+    Equivalent output contract to :func:`forward_warp` (same WarpResult),
+    with *bilinear* source sampling (higher color quality than splatting).
+    Depth hypotheses are uniform in inverse depth between the source
+    depth map's range, so the disparity step is constant (sub-pixel for
+    num_planes >= image disparity range).
+    """
+    ht, wt = out_hw
+    h, w = depth.shape
+    depth = depth.astype(jnp.float32)
+
+    pts_cam = geo.unproject_depth(depth, k_src, of_by_one=of_by_one)
+    edge = cell_edge_mask(pts_cam, edge_angle_deg) if remove_edges else None
+
+    valid_src = depth > min_depth
+    big = jnp.where(valid_src, depth, jnp.inf)
+    small = jnp.where(valid_src, depth, -jnp.inf)
+    z_near = jnp.maximum(jnp.min(big), min_depth)
+    z_far = jnp.maximum(jnp.max(small), z_near * (1.0 + 1e-3))
+    inv_near = 1.0 / z_near
+    inv_far = 1.0 / z_far
+    d_inv = (inv_near - inv_far) / (num_planes - 1)
+
+    m_inv = jnp.linalg.inv(transform)
+    r = m_inv[:3, :3]
+    t = m_inv[:3, 3]
+
+    # target pixel rays (unit-z direction in target cam)
+    x = (jnp.arange(wt, dtype=jnp.float32) - k_dst[0, 2]) / k_dst[0, 0]
+    y = (jnp.arange(ht, dtype=jnp.float32) - k_dst[1, 2]) / k_dst[1, 1]
+    dir_x, dir_y = jnp.meshgrid(x, y)
+
+    fx_s, fy_s = k_src[0, 0], k_src[1, 1]
+    cx_s, cy_s = k_src[0, 2], k_src[1, 2]
+    # the source grid was built with the of_by_one stretch; invert it when
+    # mapping back to source pixel indices
+    sx = (w / (w + 1.0)) if of_by_one else 1.0
+    sy = (h / (h + 1.0)) if of_by_one else 1.0
+
+    edge_f = (edge.astype(jnp.float32) if edge is not None else None)
+
+    # Sweep in vectorized CHUNKS of planes: one batched gather + a
+    # first-hit argmax per chunk. A scalar fori_loop over planes defeats
+    # XLA's gather/elementwise pipelining on TPU (~250 ms/plane observed);
+    # the chunked form runs the identical math at memory bandwidth.
+    chunk = min(16, num_planes)
+    n_chunks = -(-num_planes // chunk)
+    plane_ids = jnp.arange(n_chunks * chunk, dtype=jnp.float32)
+    plane_ids = plane_ids.reshape(n_chunks, chunk)
+
+    def sweep_chunk(carry, ids):
+        found, best_z, best_u, best_v = carry
+        inv_z = inv_near - d_inv * ids  # (C,)
+        z_t = (1.0 / inv_z)[:, None, None]  # (C,1,1)
+        px = dir_x[None] * z_t
+        py = dir_y[None] * z_t
+        sx_c = r[0, 0] * px + r[0, 1] * py + r[0, 2] * z_t + t[0]
+        sy_c = r[1, 0] * px + r[1, 1] * py + r[1, 2] * z_t + t[1]
+        sz_c = r[2, 0] * px + r[2, 1] * py + r[2, 2] * z_t + t[2]
+        behind = sz_c <= min_depth
+        zs = jnp.where(behind, 1.0, sz_c)
+        u_s = (sx_c / zs * fx_s + cx_s) * sx
+        v_s = (sy_c / zs * fy_s + cy_s) * sy
+        d_s = _bilinear_gather(depth, u_s, v_s, fill=-1.0)
+        tol = tol_scale * sz_c * sz_c * d_inv + 1e-4
+        ok = (~behind) & (d_s > min_depth) & (jnp.abs(d_s - sz_c) < tol)
+        if edge_f is not None:
+            e = _bilinear_gather(edge_f, u_s, v_s, fill=1.0)
+            ok = ok & (e < 0.25)
+        hit = jnp.any(ok, axis=0)
+        first = jnp.argmax(ok, axis=0)  # first consistent plane in chunk
+
+        def pick(field):
+            return jnp.take_along_axis(field, first[None], axis=0)[0]
+        newly = hit & ~found
+        best_z = jnp.where(newly, pick(sz_c), best_z)
+        best_u = jnp.where(newly, pick(u_s), best_u)
+        best_v = jnp.where(newly, pick(v_s), best_v)
+        return (found | hit, best_z, best_u, best_v), None
+
+    init = (jnp.zeros((ht, wt), bool), jnp.full((ht, wt), INF_DEPTH),
+            jnp.zeros((ht, wt)), jnp.zeros((ht, wt)))
+    (found, best_z, best_u, best_v), _ = jax.lax.scan(
+        sweep_chunk, init, plane_ids)
+
+    colf = color.astype(jnp.float32)
+    out_color = _bilinear_gather(colf, best_u, best_v, fill=0.0)
+    out_color = jnp.where(found[..., None], out_color, 0.0)
+    # Refine depth past the plane quantization: take the matched source
+    # pixel's true depth, unproject it in the source camera, and carry it
+    # through the forward transform — the continuous surface z.
+    d_hit = _bilinear_gather(depth, best_u, best_v, fill=0.0)
+    sxp = (best_u / sx - cx_s) / fx_s * d_hit
+    syp = (best_v / sy - cy_s) / fy_s * d_hit
+    rf = transform[:3, :3]
+    tf = transform[:3, 3]
+    z_ref = rf[2, 0] * sxp + rf[2, 1] * syp + rf[2, 2] * d_hit + tf[2]
+    out_depth = jnp.where(found & (d_hit > min_depth), z_ref,
+                          jnp.where(found, best_z, INF_DEPTH))
+    edge_out = (edge & valid_src) if edge is not None else \
+        jnp.zeros((h, w), bool)
+    return WarpResult(color=out_color, depth=out_depth, mask=found,
+                      edge_mask=edge_out)
+
+
+# ---------------------------------------------------------------------------
+# VMEM disparity-sweep warp (Pallas fast path for the stereo-eye case)
+# ---------------------------------------------------------------------------
+
+def stereo_sweep_warp(depth, color, k, transform, num_planes=128,
+                      remove_edges=True, edge_angle_deg=89.0,
+                      max_disparity=256, neutralize_rotation=True,
+                      min_depth=1e-2, tol_scale=1.6, interpret=None):
+    """Stereo re-rendering via the Pallas VMEM plane sweep.
+
+    Valid when ``transform`` decomposes as (rotation R, translation t)
+    with t.y ~ t.z ~ 0 after rotation-neutralization — exactly the stereo
+    eye case (camera-motion-cancelled frame + toe-in rotation + IPD
+    x-shift, reference stereo_rerender.py:707-725). The rotation is
+    removed exactly with one bilinear resample (rotation about the camera
+    center causes no disocclusion); the remaining pure-x translation runs
+    in ops.warp_pallas.disparity_sweep at VMEM speed.
+
+    Same WarpResult contract as forward_warp / plane_sweep_warp.
+    """
+    from metric_depth_video_toolbox_tpu.ops import warp_pallas
+
+    if interpret is None:
+        # Pallas TPU kernels need interpret mode on the CPU backend (tests)
+        interpret = jax.default_backend() != "tpu"
+    h, w = depth.shape
+    depth = depth.astype(jnp.float32)
+    r = transform[:3, :3]
+    t = transform[:3, 3]
+
+    pts_cam = geo.unproject_depth(depth, k, of_by_one=False)
+    edge = (cell_edge_mask(pts_cam, edge_angle_deg) if remove_edges
+            else jnp.zeros((h, w), bool))
+    valid_src = depth > min_depth
+
+    fx, fy = k[0, 0], k[1, 1]
+    cx, cy = k[0, 2], k[1, 2]
+
+    if neutralize_rotation:
+        # exact rotation removal: one bilinear resample, no disocclusion
+        xs = (jnp.arange(w, dtype=jnp.float32) - cx) / fx
+        ys = (jnp.arange(h, dtype=jnp.float32) - cy) / fy
+        dx, dy = jnp.meshgrid(xs, ys)
+        # p_s direction = R^T [dx, dy, 1]
+        sx_d = r[0, 0] * dx + r[1, 0] * dy + r[2, 0]
+        sy_d = r[0, 1] * dx + r[1, 1] * dy + r[2, 1]
+        sz_d = r[0, 2] * dx + r[1, 2] * dy + r[2, 2]
+        u_s = sx_d / sz_d * fx + cx
+        v_s = sy_d / sz_d * fy + cy
+        z_src = _bilinear_gather(jnp.where(edge | ~valid_src, 0.0, depth),
+                                 u_s, v_s, fill=0.0)
+        depth_rot = z_src / sz_d
+        color_rot = _bilinear_gather(color.astype(jnp.float32), u_s, v_s,
+                                     fill=0.0)
+    else:
+        depth_rot = jnp.where(edge | ~valid_src, 0.0, depth)
+        color_rot = color.astype(jnp.float32)
+
+    # plane set: uniform inverse depth across the (rot-frame) depth range
+    big = jnp.where(depth_rot > min_depth, depth_rot, jnp.inf)
+    small = jnp.where(depth_rot > min_depth, depth_rot, -jnp.inf)
+    z_near = jnp.maximum(jnp.min(big), min_depth)
+    z_far = jnp.maximum(jnp.max(small), z_near * 1.001)
+    inv_near = 1.0 / z_near
+    inv_far = 1.0 / z_far
+    d_inv = (inv_near - inv_far) / (num_planes - 1)
+    ids = jnp.arange(num_planes, dtype=jnp.float32)
+    plane_z = 1.0 / (inv_near - d_inv * ids)  # ascending z = front-first
+    plane_tol = tol_scale * plane_z * plane_z * d_inv + 1e-4
+
+    # target x samples rot-frame source at u + disp, disp = -fx*tx/z
+    disp = -fx * t[0] / plane_z
+    disp = jnp.clip(disp, -(max_disparity - 2.0), max_disparity - 2.0)
+    disp_int = jnp.floor(disp).astype(jnp.int32)
+    disp_frac = disp - jnp.floor(disp)
+
+    pad_left, pad_right = warp_pallas.pad_widths(w, max_disparity)
+    depth_pad = jnp.pad(depth_rot, ((0, 0), (pad_left, pad_right)))
+    color_pad = jnp.pad(color_rot.transpose(2, 0, 1),
+                        ((0, 0), (0, 0), (pad_left, pad_right)))
+
+    best_z, out_color, found = warp_pallas.disparity_sweep(
+        depth_pad, color_pad, disp_int, disp_frac, plane_z, plane_tol,
+        num_planes=num_planes, pad_left=pad_left, interpret=interpret)
+
+    return WarpResult(color=out_color,
+                      depth=jnp.where(found, best_z, INF_DEPTH),
+                      mask=found, edge_mask=edge & valid_src)

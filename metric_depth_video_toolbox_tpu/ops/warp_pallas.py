@@ -1,0 +1,142 @@
+"""Pallas TPU kernel: VMEM-resident disparity-sweep stereo warp.
+
+The hot kernel of the stereo rerenderer. The XLA formulations of the
+warp hit two walls (measured, 1080p, TPU v5e):
+
+  - scatter z-buffer (forward_warp): ~660 ms/frame — scatters inside a
+    fused program run ~1000x below the bulk-scatter rate;
+  - per-plane gather sweep: ~25 ms/plane of HBM round-trips, and even a
+    roll-based sweep pays ~4 ms/plane because XLA materializes every
+    per-plane (H, W) intermediate to HBM.
+
+This kernel performs the entire plane sweep per row-tile in VMEM: the
+padded depth/color rows are loaded once, every plane is a lane shift
+(constant per-plane disparity) + lerp + compare + select on VMEM values,
+and only the final best-hit buffers are written back. HBM traffic: read
+inputs once + write outputs once, independent of plane count.
+
+Mosaic constraint: dynamic lane slices must be 128-aligned, so each
+plane's shift d is decomposed as d = 128*q + r — an aligned dynamic
+slice (pl.multiple_of) followed by a dynamic sub-lane rotate
+(pltpu.roll with a traced shift).
+
+Geometry contract (see rasterize.stereo_sweep_warp): the source has been
+rotation-neutralized, so the remaining transform is a pure x-translation
+(the stereo eye shift). Per plane p at depth z_p the source pixel for
+target x is x + disp_p with disp_p = -fx * tx / z_p, constant along the
+row — exactly the structure the kernel exploits.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INF_DEPTH = 3.0e38
+LANE = 128
+
+
+def _sweep_kernel(disp_int_ref, disp_frac_ref, z_ref, tol_ref,
+                  depth_ref, cr_ref, cg_ref, cb_ref,
+                  out_z_ref, out_r_ref, out_g_ref, out_b_ref,
+                  out_found_ref, *, num_planes, width, pad_left, seg_w):
+    """One (BH, W+PADS) row-tile; sweep all planes front-to-back in VMEM."""
+    bh = out_z_ref.shape[0]
+
+    # accumulate in the VMEM output refs (large vector loop-carries fail
+    # to legalize in Mosaic's scf.for)
+    out_z_ref[:] = jnp.full((bh, width), INF_DEPTH, jnp.float32)
+    out_r_ref[:] = jnp.zeros((bh, width), jnp.float32)
+    out_g_ref[:] = jnp.zeros((bh, width), jnp.float32)
+    out_b_ref[:] = jnp.zeros((bh, width), jnp.float32)
+    out_found_ref[:] = jnp.zeros((bh, width), jnp.float32)
+
+    def body(p, _):
+        d0 = disp_int_ref[p] + pad_left      # >= 0 by construction
+        f = disp_frac_ref[p]
+        z_p = z_ref[p]
+        tol = tol_ref[p]
+        q = pl.multiple_of((d0 // LANE) * LANE, LANE)
+        r = d0 - q                            # 0..127 sub-lane shift
+
+        def shifted(ref):
+            seg = ref[:, pl.ds(q, seg_w)]
+            # left-shift by k == non-negative roll by (seg_w - k)
+            nb = pltpu.roll(seg, seg_w - 1, axis=1)  # +1 neighbor
+            lerped = (1.0 - f) * seg + f * nb
+            rot = pltpu.roll(lerped, jnp.where(r == 0, 0, seg_w - r),
+                             axis=1)  # dynamic sub-lane left shift by r
+            return rot[:, :width]
+
+        found = out_found_ref[:] > 0.5
+        d_s = shifted(depth_ref)
+        ok = (jnp.abs(d_s - z_p) < tol) & (d_s > 1e-3) & (~found)
+        out_z_ref[:] = jnp.where(ok, d_s, out_z_ref[:])
+        out_r_ref[:] = jnp.where(ok, shifted(cr_ref), out_r_ref[:])
+        out_g_ref[:] = jnp.where(ok, shifted(cg_ref), out_g_ref[:])
+        out_b_ref[:] = jnp.where(ok, shifted(cb_ref), out_b_ref[:])
+        out_found_ref[:] = jnp.where(ok, 1.0, out_found_ref[:])
+        return 0
+
+    jax.lax.fori_loop(0, num_planes, body, 0)
+
+
+def pad_widths(width, max_disparity):
+    """(pad_left, pad_right) for the padded input rows: left covers
+    negative shifts; right covers the aligned-segment overrun
+    (q + seg_w <= wp with seg_w = width + 2*LANE)."""
+    pad_left = ((max_disparity + LANE - 1) // LANE) * LANE
+    pad_right = pad_left + 2 * LANE
+    return pad_left, pad_right
+
+
+@functools.partial(jax.jit, static_argnames=("num_planes", "pad_left",
+                                             "block_rows", "interpret"))
+def disparity_sweep(depth_pad, color_pad, disp_int, disp_frac, plane_z,
+                    plane_tol, num_planes, pad_left, block_rows=64,
+                    interpret=False):
+    """Run the VMEM plane sweep.
+
+    depth_pad: (H, W + pads) f32 — rotation-neutralized source depth,
+               zero-padded (pad_left on the left, pad_left + 256 right).
+    color_pad: (3, H, W + pads) f32 — channel-planar padded color.
+    disp_int/disp_frac: (P,) i32/f32 — per-plane integer/fractional
+               disparity (pad_left added in-kernel; int + pad_left >= 0).
+    plane_z/plane_tol: (P,) f32 — plane depth + consistency tolerance.
+
+    Returns (best_z (H,W), color (H,W,3), found (H,W) bool).
+    """
+    h, wp = depth_pad.shape
+    w = wp - (2 * pad_left + 2 * LANE)
+    seg_w = w + 2 * LANE
+    bh = min(block_rows, h)
+    grid = (pl.cdiv(h, bh),)
+
+    kernel = functools.partial(_sweep_kernel, num_planes=num_planes,
+                               width=w, pad_left=pad_left, seg_w=seg_w)
+
+    # index_map receives (grid_idx, *scalar_prefetch_refs)
+    row_spec = pl.BlockSpec((bh, wp), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bh, w), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=[row_spec, row_spec, row_spec, row_spec],
+        out_specs=[out_spec] * 5,
+    )
+    out_shape = [jax.ShapeDtypeStruct((h, w), jnp.float32)
+                 for _ in range(5)]
+    best_z, r, g, b, found = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret,
+    )(disp_int, disp_frac, plane_z, plane_tol,
+      depth_pad, color_pad[0], color_pad[1], color_pad[2])
+    color = jnp.stack([r, g, b], axis=-1)
+    return best_z, color, found > 0.5

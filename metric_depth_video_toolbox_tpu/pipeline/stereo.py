@@ -66,6 +66,14 @@ class StereoConfig:
     subsample: int = 2
     infill_march_steps: int = 400
     inpaint_iters: int = 48
+    # 'sweep'  = Pallas VMEM disparity sweep (fastest; valid when the only
+    #            transform is the stereo eye shift [+ toe-in rotation],
+    #            i.e. no per-frame camera transformations and not VR180)
+    # 'forward' = scatter z-buffer (general transforms)
+    # 'plane_sweep' = XLA gather sweep (reference implementation)
+    warp_method: str = "sweep"
+    num_planes: int = 128
+    has_convergence: bool = True
 
 
 # ---------------------------------------------------------------------------
@@ -114,12 +122,28 @@ def render_eye(depth, color, k, render_k, transform, eye_shift_m,
     m_eye = geo.translation_matrix(-eye_shift_m, 0.0, 0.0) @ \
         geo.rotation_y(sign * conv_angle) @ transform
 
-    res = rasterize.forward_warp(
-        depth, color, k, render_k, m_eye,
-        (cfg.out_height, cfg.out_width),
-        subsample=cfg.subsample,
-        remove_edges=cfg.remove_edges,
-        of_by_one=True)
+    if cfg.warp_method == "sweep":
+        # Pallas fast path: same-camera re-render, x-only translation
+        # (+ optional toe-in rotation neutralized by one exact resample)
+        res = rasterize.stereo_sweep_warp(
+            depth, color, k, m_eye,
+            num_planes=cfg.num_planes,
+            remove_edges=cfg.remove_edges,
+            neutralize_rotation=cfg.has_convergence)
+    elif cfg.warp_method == "plane_sweep":
+        res = rasterize.plane_sweep_warp(
+            depth, color, k, render_k, m_eye,
+            (cfg.out_height, cfg.out_width),
+            num_planes=cfg.num_planes,
+            remove_edges=cfg.remove_edges,
+            of_by_one=True)
+    else:
+        res = rasterize.forward_warp(
+            depth, color, k, render_k, m_eye,
+            (cfg.out_height, cfg.out_width),
+            subsample=cfg.subsample,
+            remove_edges=cfg.remove_edges,
+            of_by_one=True)
     hole = ~res.mask
     image = jnp.where(hole[..., None], 0.0, res.color)
 
@@ -313,6 +337,10 @@ def render_stereo_video(depth_video, color_video=None, output=None,
     if vr180:
         out_w = out_h = 1920
 
+    # the Pallas sweep path requires same-camera x-only warps: no
+    # per-frame camera transformations and not VR180's separate render cam
+    warp_method = ("sweep" if (transformations is None and not vr180)
+                   else "forward")
     cfg = StereoConfig(
         width=w, height=h, out_width=out_w, out_height=out_h,
         max_depth=max_depth,
@@ -322,7 +350,9 @@ def render_stereo_video(depth_video, color_video=None, output=None,
         green_and_black_infill_mask=green_and_black_infill_mask,
         do_basic_infill=do_basic_infill, touchly0=touchly0,
         touchly1=touchly1, touchly_max_depth=touchly_max_depth,
-        touchly_min_depth=touchly_min_depth, vr180=vr180)
+        touchly_min_depth=touchly_min_depth, vr180=vr180,
+        warp_method=warp_method,
+        has_convergence=convergence_depths is not None)
 
     if touchly1:
         suffix, out_size = "_Touchly1.mkv", (w, h * 2)

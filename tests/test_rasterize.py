@@ -104,3 +104,54 @@ def test_splat_points_zbuffer():
     assert np.isclose(float(dep[8, 8]), 2.0, atol=1e-5)
     assert np.isclose(float(img[8, 8, 0]), 2.0)
     assert mask[8, 8] and np.asarray(mask).sum() == 1
+
+
+def test_plane_sweep_identity_reproduces_input():
+    k, depth, color = _scene()
+    res = rasterize.plane_sweep_warp(
+        jnp.asarray(depth), jnp.asarray(color), k, k, jnp.eye(4),
+        depth.shape, num_planes=64, remove_edges=False, of_by_one=False)
+    mask = np.asarray(res.mask)
+    assert mask.mean() > 0.99
+    got = np.asarray(res.color)
+    assert np.abs(got[mask] - color[mask]).max() < 0.02
+    d = np.asarray(res.depth)
+    assert np.abs(d[mask] - depth[mask]).max() < 0.2
+
+
+def test_plane_sweep_matches_forward_warp_on_translation():
+    h, w = 48, 64
+    k, depth, color = _scene(h, w, depth_bg=5.0)
+    depth[10:30, 20:40] = 2.5
+    t = np.eye(4, dtype=np.float32)
+    t[0, 3] = -0.2
+    ps = rasterize.plane_sweep_warp(
+        jnp.asarray(depth), jnp.asarray(color), k, k, jnp.asarray(t),
+        (h, w), num_planes=96, remove_edges=True, of_by_one=False)
+    fw = rasterize.forward_warp(
+        jnp.asarray(depth), jnp.asarray(color), k, k, jnp.asarray(t),
+        (h, w), subsample=2, remove_edges=True, of_by_one=False)
+    mp = np.asarray(ps.mask)
+    mf = np.asarray(fw.mask)
+    both = mp & mf
+    # coverage agrees except near edges; depths agree where both landed
+    assert (mp == mf).mean() > 0.9
+    dd = np.abs(np.asarray(ps.depth)[both] - np.asarray(fw.depth)[both])
+    assert np.median(dd) < 0.05
+    # occlusion ordering: foreground square depth preserved
+    assert abs(np.median(np.asarray(ps.depth)[15:25, 15:35]) - 2.5) < 0.1
+
+
+def test_plane_sweep_reveals_holes():
+    h, w = 32, 32
+    k, depth, color = _scene(h, w, depth_bg=10.0)
+    depth[:, 16:] = 2.0
+    t = np.eye(4, dtype=np.float32)
+    t[0, 3] = -0.3
+    res = rasterize.plane_sweep_warp(
+        jnp.asarray(depth), jnp.asarray(color), k, k, jnp.asarray(t),
+        (h, w), num_planes=96, remove_edges=True, of_by_one=False)
+    mask = np.asarray(res.mask)
+    assert not mask.all()
+    hole_cols = np.where(~mask[h // 2])[0]
+    assert hole_cols.size > 0 and (hole_cols >= 20).any()

@@ -40,7 +40,9 @@ SUBCOMMANDS = {
     "analyse-tracking": "metric_depth_video_toolbox_tpu.cli.analyse_tracking",
     "analyse-depth": "metric_depth_video_toolbox_tpu.cli.analyse_depth",
     "flow": "metric_depth_video_toolbox_tpu.cli.optical_flow",
+    "slam": "metric_depth_video_toolbox_tpu.cli.sam_track_video",
     "upscale": "metric_depth_video_toolbox_tpu.cli.upscale_depth",
+    "project": "metric_depth_video_toolbox_tpu.cli.project",
 }
 
 

@@ -1,0 +1,45 @@
+"""CLI: SLAM-class camera tracking with global bundle adjustment
+(reference sam_track_video.py — Mega-SAM/DROID role)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser(parser=None):
+    p = parser or argparse.ArgumentParser(
+        description="Track the camera through a video using dense point "
+                    "tracks + metric depth + global bundle adjustment.")
+    p.add_argument("--color_video", type=str, required=True)
+    p.add_argument("--depth_video", type=str, required=True)
+    p.add_argument("--xfov", type=float)
+    p.add_argument("--yfov", type=float)
+    p.add_argument("--max_depth", default=100, type=float)
+    p.add_argument("--max_frames", default=-1, type=int)
+    p.add_argument("--optimize_intrinsic", action="store_true")
+    p.add_argument("--ba_iters", default=10, type=int)
+    p.add_argument("--save_motion_video", action="store_true")
+    return p
+
+
+def run(args):
+    from metric_depth_video_toolbox_tpu.pipeline import slam
+    if args.xfov is None and args.yfov is None:
+        raise SystemExit("--xfov or --yfov is required")
+    out, res = slam.slam_track_video(
+        args.color_video, args.depth_video, xfov=args.xfov, yfov=args.yfov,
+        max_depth=args.max_depth, max_frames=args.max_frames,
+        optimize_intrinsic=args.optimize_intrinsic,
+        ba_iters=args.ba_iters, save_motion_video=args.save_motion_video)
+    print(f"transformations saved: {out} (mean reproj err {res:.2f} px)")
+    return out
+
+
+def main(argv=None):
+    from metric_depth_video_toolbox_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -91,11 +91,15 @@ def detect_scenes(color_video, threshold=0.35, min_scene_len=15):
 def write_scene_csv(path, scenes):
     """PySceneDetect-compatible CSV: a first 'timecode list' row that
     parsers skip, then the header + rows."""
-    fields = list(scenes[0].keys()) if scenes else CSV_FIELDS
+    fields = list(CSV_FIELDS)
+    for s in scenes:  # extras (Engine/Infill/Convergence) in stable order
+        for k in s:
+            if k not in fields:
+                fields.append(k)
     with open(path, "w", newline="", encoding="utf-8") as f:
         f.write("Timecode List:," + ",".join(
             s["Start Timecode"] for s in scenes[1:]) + "\n")
-        writer = csv.DictWriter(f, fieldnames=fields)
+        writer = csv.DictWriter(f, fieldnames=fields, restval="")
         writer.writeheader()
         for s in scenes:
             writer.writerow(s)

@@ -28,6 +28,10 @@ def build_parser(parser=None):
     p.add_argument("--global_align", action="store_true")
     p.add_argument("--save_grayscale", action="store_true")
     p.add_argument("--bit16", action="store_true")
+    p.add_argument("--save_alembic", action="store_true",
+                   help="export camera track (+ triangulated cloud) for "
+                        "DCC tools; .abc when bpy is available, JSON "
+                        "camera track otherwise")
     return p
 
 
@@ -44,6 +48,18 @@ def run(args):
         save_rescaled_depth=args.save_rescaled_depth,
         global_align=args.global_align, grayscale=args.save_grayscale,
         bit16_grayscale=args.bit16)
+    if args.save_alembic and args.transformation_file:
+        import numpy as np
+        from metric_depth_video_toolbox_tpu.io import sidecar, video as vio
+        from metric_depth_video_toolbox_tpu.io import pointcloud as pcio
+        transforms = sidecar.load_transformations(args.transformation_file)
+        n, w, h, fps = vio.video_info(args.depth_video)
+        pts = cols = None
+        if "triangulated" in out:
+            pts, cols = pcio.read_ply(out["triangulated"])
+        out.update(export.export_camera_track(
+            transforms, args.xfov or 50.0, w, h, fps,
+            args.depth_video, points=pts, colors=cols))
     for k, v in out.items():
         print(f"{k}: {v}")
     return out

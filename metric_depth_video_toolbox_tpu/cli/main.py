@@ -43,6 +43,7 @@ SUBCOMMANDS = {
     "slam": "metric_depth_video_toolbox_tpu.cli.sam_track_video",
     "upscale": "metric_depth_video_toolbox_tpu.cli.upscale_depth",
     "project": "metric_depth_video_toolbox_tpu.cli.project",
+    "inpaint": "metric_depth_video_toolbox_tpu.cli.apply_inpainting",
 }
 
 

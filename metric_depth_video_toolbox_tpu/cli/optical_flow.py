@@ -51,15 +51,31 @@ def run(args):
         nonlocal n, params
         if not batch_a:
             return
-        a = jnp.asarray(np.stack(batch_a)[:, :h8, :w8])
-        b = jnp.asarray(np.stack(batch_b)[:, :h8, :w8])
+        a_np = np.stack(batch_a)[:, :h8, :w8]
+        b_np = np.stack(batch_b)[:, :h8, :w8]
         if params is None:
             params = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                         a[0], b[0])
-        rgb = robust_call(step, params, a, b)
-        for f in rgb:
-            writer.write(f)
-            n += 1
+                                         jnp.asarray(a_np[0]),
+                                         jnp.asarray(b_np[0]))
+        # OOM adaptation: halve the batch and retry
+        # (reference optical_flow.py:204-212)
+        start = 0
+        chunk = a_np.shape[0]
+        while start < a_np.shape[0]:
+            try:
+                rgb = robust_call(step, params,
+                                  jnp.asarray(a_np[start:start + chunk]),
+                                  jnp.asarray(b_np[start:start + chunk]))
+            except Exception as e:
+                if "RESOURCE_EXHAUSTED" in str(e) and chunk > 1:
+                    chunk = max(1, chunk // 2)
+                    print(f"OOM: halving flow batch to {chunk}")
+                    continue
+                raise
+            for f in rgb:
+                writer.write(f)
+                n += 1
+            start += chunk
         batch_a.clear()
         batch_b.clear()
 

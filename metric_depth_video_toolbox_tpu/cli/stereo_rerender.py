@@ -40,6 +40,11 @@ def build_parser(parser=None):
     p.add_argument("--create_sbs_depth_video", action="store_true")
     p.add_argument("--batch_size", default=8, type=int)
     p.add_argument("--compressed", action="store_true")
+    p.add_argument("--mask_video", type=str,
+                   help="foreground mask; switches to background-"
+                        "accumulation rendering")
+    p.add_argument("--save_background", action="store_true")
+    p.add_argument("--load_background", type=str)
     return p
 
 
@@ -86,7 +91,9 @@ def run(args):
         create_sbs_depth=args.create_sbs_depth_video,
         touchly_max_depth=args.touchly_max_depth,
         touchly_min_depth=args.touchly_min_depth,
-        transformation_lock_frame=args.transformation_lock_frame)
+        transformation_lock_frame=args.transformation_lock_frame,
+        mask_video=args.mask_video, save_background=args.save_background,
+        load_background=args.load_background)
     print(f"Processing complete. Output saved to: {out}")
     return out
 

@@ -272,3 +272,115 @@ def apply_intrinsic_depth_scale(depth, scale):
 
 def deg2rad(d):
     return d * (math.pi / 180.0)
+
+
+# ---------------------------------------------------------------------------
+# Frustum math (reference depth_map_tools.py:82-193)
+# ---------------------------------------------------------------------------
+
+def frustum_planes(k, width, height, near, far, cam_to_world=None):
+    """6 frustum planes as (6, 4) [nx, ny, nz, d] with inward normals
+    (point p inside iff n.p + d >= 0 for all planes)."""
+    fx, fy = k[..., 0, 0], k[..., 1, 1]
+    cx, cy = k[..., 0, 2], k[..., 1, 2]
+    # corner ray directions at z=1
+    x0 = (0.0 - cx) / fx
+    x1 = (width - cx) / fx
+    y0 = (0.0 - cy) / fy
+    y1 = (height - cy) / fy
+
+    def plane_through_origin(a, b):
+        n = jnp.cross(a, b)
+        n = n / (jnp.linalg.norm(n) + 1e-12)
+        return jnp.concatenate([n, jnp.zeros(1)])
+
+    tl = jnp.stack([x0, y0, jnp.ones_like(x0)])
+    tr = jnp.stack([x1, y0, jnp.ones_like(x0)])
+    bl = jnp.stack([x0, y1, jnp.ones_like(x0)])
+    br = jnp.stack([x1, y1, jnp.ones_like(x0)])
+    planes = jnp.stack([
+        plane_through_origin(tl, bl),          # left
+        plane_through_origin(br, tr),          # right
+        plane_through_origin(tr, tl),          # top
+        plane_through_origin(bl, br),          # bottom
+        jnp.array([0.0, 0.0, 1.0, -near]),     # near: z >= near
+        jnp.array([0.0, 0.0, -1.0, far]),      # far:  z <= far
+    ])
+    # canonicalize side-plane orientation: inward = positive at a point
+    # on the central ray
+    p_in = jnp.array([0.0, 0.0, (near + far) / 2.0])
+    side = planes[:, :3] @ p_in + planes[:, 3]
+    planes = planes * jnp.where(side < 0, -1.0, 1.0)[:, None]
+    if cam_to_world is not None:
+        # transform planes by (M^-1)^T
+        m_inv_t = jnp.linalg.inv(cam_to_world).T
+        planes = planes @ m_inv_t.T
+        norm = jnp.linalg.norm(planes[:, :3], axis=-1, keepdims=True)
+        planes = planes / jnp.maximum(norm, 1e-12)
+    return planes
+
+
+def frustum_corners(k, width, height, near, far, cam_to_world=None):
+    """(8, 3) frustum corner points (near plane 4, far plane 4)."""
+    fx, fy = k[..., 0, 0], k[..., 1, 1]
+    cx, cy = k[..., 0, 2], k[..., 1, 2]
+    xs = jnp.array([0.0, width, width, 0.0])
+    ys = jnp.array([0.0, 0.0, height, height])
+    dirs = jnp.stack([(xs - cx) / fx, (ys - cy) / fy,
+                      jnp.ones(4)], axis=-1)
+    corners = jnp.concatenate([dirs * near, dirs * far], axis=0)
+    if cam_to_world is not None:
+        corners = transform_points(corners[None], cam_to_world)[0]
+    return corners
+
+
+def points_in_frustum(points, planes):
+    """(N,) bool — inside test against (6, 4) planes."""
+    d = points @ planes[:, :3].T + planes[None, :, 3]
+    return jnp.all(d >= 0.0, axis=-1)
+
+
+def frustums_intersect(planes_a, corners_a, planes_b, corners_b):
+    """Separating-axis test between two frusta using their face planes
+    (the reference's frustum-frustum intersection,
+    depth_map_tools.py:124-193): if all corners of one frustum lie outside
+    a single plane of the other, they are disjoint."""
+    def separated(planes, corners):
+        d = corners @ planes[:, :3].T + planes[None, :, 3]
+        return jnp.any(jnp.all(d < 0.0, axis=0))
+
+    return ~(separated(planes_a, corners_b)
+             | separated(planes_b, corners_a))
+
+
+def disparity_steepness_mask(depth, k, baseline_m=0.063, threshold_px=1.5):
+    """Per-pixel edge mask from the horizontal disparity gradient — the
+    reference's alternative edge detector (depth_map_tools.py:541-609,
+    superseded by the mesh-angle cull but kept for parity): pixels whose
+    neighbor disparity jump exceeds the threshold are silhouette edges.
+    """
+    fx = k[..., 0, 0]
+    disp = fx * baseline_m / jnp.maximum(depth, 1e-6)
+    dx = jnp.abs(jnp.diff(disp, axis=-1, append=disp[..., -1:]))
+    dy = jnp.abs(jnp.diff(disp, axis=-2, append=disp[..., -1:, :]))
+    return (dx > threshold_px) | (dy > threshold_px)
+
+
+def estimate_focal_from_points(points_cam, height, width, weights=None):
+    """Recover effective (fx, fy) from a model's 3D point map — the
+    reference's UniK3D focal re-estimation (unik3d_video.py:22-101):
+    least-squares fit of u = fx * x/z + cx over all pixels."""
+    h, w = height, width
+    x = points_cam[..., 0]
+    y = points_cam[..., 1]
+    z = jnp.maximum(points_cam[..., 2], 1e-6)
+    u = jnp.arange(w, dtype=jnp.float32)[None, :] - (w / 2.0)
+    v = jnp.arange(h, dtype=jnp.float32)[:, None] - (h / 2.0)
+    wts = jnp.ones_like(z) if weights is None else weights
+    rx = x / z
+    ry = y / z
+    fx = jnp.sum(wts * rx * u) / jnp.maximum(
+        jnp.sum(wts * rx * rx), 1e-9)
+    fy = jnp.sum(wts * ry * v) / jnp.maximum(
+        jnp.sum(wts * ry * ry), 1e-9)
+    return fx, fy

@@ -273,3 +273,81 @@ def merge_near_points(points, colors=None, radius=0.003):
     csum = np.zeros((n_cells, cols.shape[1]), np.float64)
     np.add.at(csum, inverse, cols)
     return merged, (csum / counts[:, None]).astype(colors.dtype)
+
+
+def export_camera_track(transformations, xfov, width, height, fps,
+                        output_base, points=None, colors=None):
+    """Camera-track + point-cloud export for DCC tools.
+
+    The reference exports Blender/Alembic via bpy
+    (convert_metric_depth_video_to_other_format.py:291-440, with the
+    CV->Blender axis conversion at :400-414). bpy is used when importable;
+    otherwise a portable fallback is written: a JSON camera track (same
+    axis conversion, per-frame 4x4 + FOV + fps) plus the PLY cloud —
+    everything a DCC importer script needs.
+    """
+    import json
+
+    transformations = np.asarray(transformations, np.float32)
+    # CV (x right, y down, z forward) -> Blender (x right, y forward?, z up):
+    # rotate -90deg about X, flip camera to look down -Z (reference :400-414)
+    cv2blender = np.array([[1, 0, 0, 0],
+                           [0, 0, 1, 0],
+                           [0, -1, 0, 0],
+                           [0, 0, 0, 1]], np.float32)
+    camflip = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+    blender_mats = np.einsum("ij,njk,kl->nil", cv2blender,
+                             transformations, camflip)
+
+    try:
+        import bpy  # noqa: F401
+        has_bpy = True
+    except ImportError:
+        has_bpy = False
+
+    outputs = {}
+    if has_bpy:  # pragma: no cover - bpy not present in this image
+        abc_path = output_base + ".abc"
+        _bpy_export_alembic(blender_mats, xfov, width, height, fps,
+                            abc_path, points, colors)
+        outputs["alembic"] = abc_path
+    track_path = output_base + "_camera_track.json"
+    with open(track_path, "w", encoding="utf-8") as f:
+        json.dump({
+            "fps": fps, "width": width, "height": height,
+            "xfov_deg": float(xfov),
+            "convention": "blender (x right, z up, camera looks -Z)",
+            "frames": [m.tolist() for m in blender_mats],
+        }, f)
+    outputs["camera_track"] = track_path
+    if points is not None:
+        cloud_path = output_base + "_cloud.ply"
+        pcio.write_ply(cloud_path, points, colors)
+        outputs["cloud"] = cloud_path
+    return outputs
+
+
+def _bpy_export_alembic(mats, xfov, width, height, fps, path, points,
+                        colors):  # pragma: no cover
+    """Blender-side Alembic export (runs only where bpy exists)."""
+    import bpy
+    import math as _math
+    bpy.ops.wm.read_factory_settings(use_empty=True)
+    cam_data = bpy.data.cameras.new("mdvt_cam")
+    cam_data.angle = _math.radians(float(xfov))
+    cam = bpy.data.objects.new("mdvt_cam", cam_data)
+    bpy.context.collection.objects.link(cam)
+    scene = bpy.context.scene
+    scene.render.fps = int(round(fps))
+    scene.frame_start = 1
+    scene.frame_end = len(mats)
+    for i, m in enumerate(mats, start=1):
+        cam.matrix_world = [list(r) for r in m]
+        cam.keyframe_insert(data_path="location", frame=i)
+        cam.keyframe_insert(data_path="rotation_euler", frame=i)
+    if points is not None:
+        mesh = bpy.data.meshes.new("mdvt_cloud")
+        mesh.from_pydata([tuple(p) for p in np.asarray(points)], [], [])
+        obj = bpy.data.objects.new("mdvt_cloud", mesh)
+        bpy.context.collection.objects.link(obj)
+    bpy.ops.wm.alembic_export(filepath=path, selected=False)

@@ -87,8 +87,12 @@ class DiffusionInfillEngine:
 def infill_sbs_video_diffusion(sbs_video, infill_mask_video, output=None,
                                color_video=None, engine=None,
                                max_frames=-1, chunk=25, overlap=6,
-                               mirror_left=True, **kw):
-    """Chunked diffusion infill over an SBS video."""
+                               mirror_left=True, drift_correct=False,
+                               **kw):
+    """Chunked diffusion infill over an SBS video. ``drift_correct``
+    applies the phase-correlation drift fix of the generated frames
+    against the render conditioning (the InSpatio-class engine's
+    stabilizer, reference inspatio_world_infill.py:55-196)."""
     eng = engine or DiffusionInfillEngine(chunk=chunk, overlap=overlap)
     output = output or (sbs_video + "_infilled.mkv")
     sv = vio.VideoReader(sbs_video, max_frames=max_frames)
@@ -125,6 +129,9 @@ def infill_sbs_video_diffusion(sbs_video, infill_mask_video, output=None,
                 cf[:n_ctx] = context[-n_ctx:]
                 cm[:n_ctx] = False  # already infilled, feed as context
             filled = eng.infill_chunk(cf, cm)
+            if drift_correct:
+                from metric_depth_video_toolbox_tpu.ops import drift as dr
+                filled = dr.drift_correct_video(filled, cf)
             n_new = end - start
             result[start:end] = filled[:n_new]
             context = filled[:n_new]

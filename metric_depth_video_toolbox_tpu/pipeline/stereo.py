@@ -316,7 +316,9 @@ def render_stereo_video(depth_video, color_video=None, output=None,
                         green_and_black_infill_mask=False,
                         create_sbs_depth=False, touchly_max_depth=5.0,
                         touchly_min_depth=0.0,
-                        transformation_lock_frame=0):
+                        transformation_lock_frame=0,
+                        mask_video=None, save_background=False,
+                        load_background=None):
     """Stream a depth(+color) video through the device stereo step.
 
     Mirrors the reference CLI semantics (stereo_rerender.py argparse,
@@ -328,6 +330,19 @@ def render_stereo_video(depth_video, color_video=None, output=None,
     cv = vio.VideoReader(color_video) if color_video else None
     if cv is not None and (cv.width != dv.width or cv.height != dv.height):
         raise ValueError("depth video and color video must have the same size")
+
+    if mask_video is not None or load_background is not None:
+        dv.close()
+        if cv is not None:
+            cv.close()
+        return _render_background_mode(
+            depth_video, color_video, mask_video, output=output,
+            xfov=xfov, yfov=yfov, transformations=transformations,
+            convergence_depths=convergence_depths, max_depth=max_depth,
+            pupillary_distance_mm=pupillary_distance_mm,
+            max_frames=max_frames, save_background=save_background,
+            load_background=load_background,
+            infill_mask=infill_mask)
 
     h, w = dv.height, dv.width
     out_w, out_h = w, h
@@ -481,3 +496,140 @@ def _equirect_batch(images_u8, eq_map, three_panel):
         images_u8[:, :, i * pw:(i + 1) * pw]))) for i in range(n_panels)]
     del ph
     return np.concatenate(panels, axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Background-accumulation mode (mask video -> compound background cloud)
+# ---------------------------------------------------------------------------
+
+def _render_background_mode(depth_video, color_video, mask_video,
+                            output=None, xfov=None, yfov=None,
+                            transformations=None, convergence_depths=None,
+                            max_depth=100.0, pupillary_distance_mm=63.0,
+                            max_frames=-1, save_background=False,
+                            load_background=None, infill_mask=False,
+                            downsample_every=10, voxel=0.003):
+    """Accumulate the unmasked (background) pixels of every frame into a
+    growing world-space point cloud and render *that* per frame — the
+    reference's background mode (stereo_rerender.py:621-661, 946-947):
+    foreground subjects are excluded via the mask, giving a clean plate
+    whose renders feed infill. ``save_background`` writes
+    ``<depth_video>_background.npy`` and skips rendering;
+    ``load_background`` starts from a saved cloud.
+    """
+    from metric_depth_video_toolbox_tpu.io import video as vio
+    from metric_depth_video_toolbox_tpu.ops import rasterize
+    from metric_depth_video_toolbox_tpu.ops import voxel as voxel_mod
+
+    dv = vio.VideoReader(depth_video, max_frames=max_frames)
+    cv = vio.VideoReader(color_video) if color_video else None
+    mv = vio.VideoReader(mask_video) if mask_video else None
+    h, w = dv.height, dv.width
+    k = jnp.asarray(np.asarray(geo.camera_matrix_from_fov(
+        w, h, xfov_deg=xfov, yfov_deg=yfov), np.float32))
+    half = pupillary_distance_mm / 2000.0
+
+    bg_points = np.zeros((0, 3), np.float32)
+    bg_colors = np.zeros((0, 3), np.float32)
+    if load_background:
+        loaded = np.load(load_background, allow_pickle=True)
+        bg_points = np.asarray(loaded[0], np.float32).reshape(-1, 3)
+        bg_colors = np.asarray(loaded[1], np.float32).reshape(-1, 3)
+
+    @jax.jit
+    def frame_points(depth_rgb, color_u8, transform):
+        depth = codec.decode_depth_frame(depth_rgb, max_depth)
+        pts_cam = geo.unproject_depth(depth, k)
+        edge = rasterize.cell_edge_mask(pts_cam)
+        world = geo.transform_depth_map(pts_cam, transform)
+        keep = (~edge) & (depth > 1e-3)
+        return world.reshape(-1, 3), \
+            (color_u8.astype(jnp.float32) / 255.0).reshape(-1, 3), \
+            keep.reshape(-1)
+
+    @jax.jit
+    def render_cloud(points, colors, transform_eye):
+        pts = geo.transform_points(points[None], transform_eye)[0]
+        img, dep, mask = rasterize.splat_points(pts, colors, k, (h, w),
+                                                radius=1)
+        return (jnp.clip(img * 255, 0, 255).astype(jnp.uint8), dep, mask)
+
+    output = output or (depth_video + "_stereo.mkv")
+    writer = None if save_background else vio.VideoWriter(
+        output, dv.fps, w * 2, h)
+    mask_writer = (vio.VideoWriter(output + "_infillmask.mkv", dv.fps,
+                                   w * 2, h)
+                   if infill_mask and not save_background else None)
+
+    fr = 0
+    while True:
+        rgb = dv.read_batch(1)
+        if rgb is None:
+            break
+        color = cv.read_batch(1) if cv is not None else rgb
+        if color is None:
+            break
+        m = np.asarray(transformations[fr], np.float32) \
+            if transformations is not None else np.eye(4, dtype=np.float32)
+
+        if mv is not None:
+            mk = mv.read_batch(1)
+            fg = (mk[0].mean(-1) > 128) if mk is not None else \
+                np.zeros((h, w), bool)
+            world, cols, keep = [to_host(x) for x in frame_points(
+                jnp.asarray(rgb[0]), jnp.asarray(color[0]),
+                jnp.asarray(m))]
+            keep = keep & ~fg.reshape(-1)
+            bg_points = np.concatenate([bg_points, world[keep]], axis=0)
+            bg_colors = np.concatenate([bg_colors, cols[keep]], axis=0)
+            if (fr + 1) % downsample_every == 0:
+                bg_points, bg_colors = voxel_mod.perspective_aware_downsample(
+                    bg_points, bg_colors, voxel)
+
+        if writer is not None and bg_points.shape[0]:
+            # pad the cloud to the next power of two so the jitted render
+            # doesn't recompile every frame as the cloud grows
+            cap = 1 << int(np.ceil(np.log2(max(bg_points.shape[0], 1024))))
+            pad = cap - bg_points.shape[0]
+            pts_fixed = np.concatenate(
+                [bg_points, np.tile([[0.0, 0.0, -1.0]], (pad, 1))],
+                axis=0).astype(np.float32)
+            cols_fixed = np.concatenate(
+                [bg_colors, np.zeros((pad, 3), np.float32)], axis=0)
+            conv = 0.0
+            if convergence_depths is not None and fr < len(convergence_depths):
+                d = float(convergence_depths[fr])
+                if d > 0:
+                    conv = float(np.arctan(half / d))
+            panels = []
+            mask_panels = []
+            for sign, shift in ((-1.0, half), (1.0, -half)):
+                m_eye = np.asarray(
+                    geo.translation_matrix(shift, 0.0, 0.0)
+                    @ geo.rotation_y(sign * -conv)
+                    @ jnp.linalg.inv(jnp.asarray(m)))
+                img, dep, msk = [to_host(x) for x in render_cloud(
+                    jnp.asarray(pts_fixed), jnp.asarray(cols_fixed),
+                    jnp.asarray(m_eye, dtype=jnp.float32))]
+                panels.append(img)
+                hole = (~msk * 255).astype(np.uint8)
+                mask_panels.append(np.stack([np.zeros_like(hole), hole,
+                                             np.zeros_like(hole)], -1))
+            writer.write(np.concatenate(panels, axis=1))
+            if mask_writer is not None:
+                mask_writer.write(np.concatenate(mask_panels, axis=1))
+        fr += 1
+
+    dv.close()
+    if cv is not None:
+        cv.close()
+    if mv is not None:
+        mv.close()
+    if save_background:
+        np.save(depth_video + "_background.npy",
+                np.array([bg_points, bg_colors], dtype=object))
+        return depth_video + "_background.npy"
+    writer.commit(fr)
+    if mask_writer is not None:
+        mask_writer.commit(fr)
+    return output

@@ -270,10 +270,12 @@ class VideoInpainter(nn.Module):
         return self.unet(z, sigma, cond)
 
     def __call__(self, frames, mask):
-        """Training/init forward: frames (T,H,W,3) [0,1], mask (T,H,W)."""
+        """Training/init forward: frames (T,H,W,3) [0,1], mask (T,H,W).
+        Touches encode, denoise AND decode so init creates every param."""
         masked = frames * (1.0 - mask[..., None])
         cond_lat = self.encode(masked)
         m = jax.image.resize(mask, cond_lat.shape[:3], "linear")[..., None]
         cond = jnp.concatenate([cond_lat, m], axis=-1)
         z = self.encode(frames)
-        return self.denoise(z, jnp.float32(1.0), cond)
+        denoised = self.denoise(z, jnp.float32(1.0), cond)
+        return self.decode(denoised)

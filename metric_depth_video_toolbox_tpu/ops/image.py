@@ -210,3 +210,47 @@ def inpaint_diffusion(img, hole_mask, iterations=64, ksize=3):
 def box_blur(img, ksize):
     k = jnp.full((ksize, ksize), 1.0 / (ksize * ksize), jnp.float32)
     return filter2d(img, k)
+
+
+@partial(jax.jit, static_argnames=("coarse_iters", "fine_iters", "factor"))
+def inpaint_diffusion_multiscale(img, hole_mask, coarse_iters=24,
+                                 fine_iters=6, factor=4):
+    """Two-scale diffusion inpaint: fill at 1/factor resolution (each
+    iteration propagates factor x further), upsample the fill into the
+    holes, then refine at full resolution. ~factor^2 cheaper than running
+    all iterations at full resolution for the same effective radius.
+    """
+    imf = img.astype(jnp.float32)
+    squeeze = imf.ndim == 2
+    if squeeze:
+        imf = imf[..., None]
+    h, w, c = imf.shape
+    ch, cw = h // factor, w // factor
+    small = jax.image.resize(imf, (ch, cw, c), "linear")
+    small_hole = jax.image.resize(hole_mask.astype(jnp.float32),
+                                  (ch, cw), "linear") > 0.5
+    small_fill = inpaint_diffusion(small, small_hole,
+                                   iterations=coarse_iters)
+    up = jax.image.resize(small_fill, (h, w, c), "linear")
+    seeded = jnp.where(hole_mask[..., None], up, imf)
+    # short full-res refinement: re-diffuse only a thin eroded interior
+    # so seams between seeded fill and real pixels smooth out
+    out = inpaint_diffusion(seeded, hole_mask & False,
+                            iterations=0) if fine_iters == 0 else \
+        _refine_inpaint(seeded, hole_mask, fine_iters)
+    if jnp.issubdtype(img.dtype, jnp.integer):
+        out = jnp.clip(jnp.round(out), 0, 255).astype(img.dtype)
+    return out[..., 0] if squeeze else out
+
+
+def _refine_inpaint(img, hole_mask, iterations):
+    """Jacobi smoothing of the hole region against its boundary."""
+    g1 = gaussian_kernel_1d(3, 0.0)
+    kern = g1[:, None] * g1[None, :]
+    m = hole_mask[..., None]
+
+    def body(_, cur):
+        blurred = _conv2d_same(cur, kern)
+        return jnp.where(m, blurred, cur)
+
+    return jax.lax.fori_loop(0, iterations, body, img)

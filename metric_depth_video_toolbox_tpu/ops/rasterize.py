@@ -416,7 +416,8 @@ def plane_sweep_warp(depth, color, k_src, k_dst, transform, out_hw,
 def stereo_sweep_warp(depth, color, k, transform, num_planes=128,
                       remove_edges=True, edge_angle_deg=89.0,
                       max_disparity=256, neutralize_rotation=True,
-                      min_depth=1e-2, tol_scale=1.6, interpret=None):
+                      conv_inv_z=0.0, min_depth=1e-2, tol_scale=1.6,
+                      interpret=None):
     """Stereo re-rendering via the Pallas VMEM plane sweep.
 
     Valid when ``transform`` decomposes as (rotation R, translation t)
@@ -479,8 +480,12 @@ def stereo_sweep_warp(depth, color, k, transform, num_planes=128,
     plane_z = 1.0 / (inv_near - d_inv * ids)  # ascending z = front-first
     plane_tol = tol_scale * plane_z * plane_z * d_inv + 1e-4
 
-    # target x samples rot-frame source at u + disp, disp = -fx*tx/z
-    disp = -fx * t[0] / plane_z
+    # target x samples rot-frame source at u + disp, disp = -fx*tx/z.
+    # Convergence as horizontal image translation (HIT): subtract the
+    # disparity of the convergence plane so it lands at zero disparity —
+    # the parallel-sensor-shift stereo model, equivalent to the
+    # reference's toe-in for small angles without the rotation resample.
+    disp = -fx * t[0] * (1.0 / plane_z - conv_inv_z)
     disp = jnp.clip(disp, -(max_disparity - 2.0), max_disparity - 2.0)
     disp_int = jnp.floor(disp).astype(jnp.int32)
     disp_frac = disp - jnp.floor(disp)

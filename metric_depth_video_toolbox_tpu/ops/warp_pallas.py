@@ -40,49 +40,54 @@ INF_DEPTH = 3.0e38
 LANE = 128
 
 
-def _sweep_kernel(disp_int_ref, disp_frac_ref, z_ref, tol_ref,
-                  depth_ref, cr_ref, cg_ref, cb_ref,
-                  out_z_ref, out_r_ref, out_g_ref, out_b_ref,
-                  out_found_ref, *, num_planes, width, pad_left, seg_w):
-    """One (BH, W+PADS) row-tile; sweep all planes front-to-back in VMEM."""
-    bh = out_z_ref.shape[0]
+def _make_sweep_kernel(num_planes, width, pad_left, seg_w, n_chan):
+    """Kernel factory: one (BH, W+PADS) row-tile, ``n_chan`` payload
+    channels, sweep all planes front-to-back in VMEM."""
 
-    # accumulate in the VMEM output refs (large vector loop-carries fail
-    # to legalize in Mosaic's scf.for)
-    out_z_ref[:] = jnp.full((bh, width), INF_DEPTH, jnp.float32)
-    out_r_ref[:] = jnp.zeros((bh, width), jnp.float32)
-    out_g_ref[:] = jnp.zeros((bh, width), jnp.float32)
-    out_b_ref[:] = jnp.zeros((bh, width), jnp.float32)
-    out_found_ref[:] = jnp.zeros((bh, width), jnp.float32)
+    def kernel(disp_int_ref, disp_frac_ref, z_ref, tol_ref,
+               depth_ref, *rest):
+        chan_refs = rest[:n_chan]
+        out_z_ref = rest[n_chan]
+        out_chan_refs = rest[n_chan + 1:2 * n_chan + 1]
+        out_found_ref = rest[2 * n_chan + 1]
+        bh = out_z_ref.shape[0]
 
-    def body(p, _):
-        d0 = disp_int_ref[p] + pad_left      # >= 0 by construction
-        f = disp_frac_ref[p]
-        z_p = z_ref[p]
-        tol = tol_ref[p]
-        q = pl.multiple_of((d0 // LANE) * LANE, LANE)
-        r = d0 - q                            # 0..127 sub-lane shift
+        # accumulate in the VMEM output refs (large vector loop-carries
+        # fail to legalize in Mosaic's scf.for)
+        out_z_ref[:] = jnp.full((bh, width), INF_DEPTH, jnp.float32)
+        for oc in out_chan_refs:
+            oc[:] = jnp.zeros((bh, width), jnp.float32)
+        out_found_ref[:] = jnp.zeros((bh, width), jnp.float32)
 
-        def shifted(ref):
-            seg = ref[:, pl.ds(q, seg_w)]
-            # left-shift by k == non-negative roll by (seg_w - k)
-            nb = pltpu.roll(seg, seg_w - 1, axis=1)  # +1 neighbor
-            lerped = (1.0 - f) * seg + f * nb
-            rot = pltpu.roll(lerped, jnp.where(r == 0, 0, seg_w - r),
-                             axis=1)  # dynamic sub-lane left shift by r
-            return rot[:, :width]
+        def body(p, _):
+            d0 = disp_int_ref[p] + pad_left      # >= 0 by construction
+            f = disp_frac_ref[p]
+            z_p = z_ref[p]
+            tol = tol_ref[p]
+            q = pl.multiple_of((d0 // LANE) * LANE, LANE)
+            r = d0 - q                            # 0..127 sub-lane shift
 
-        found = out_found_ref[:] > 0.5
-        d_s = shifted(depth_ref)
-        ok = (jnp.abs(d_s - z_p) < tol) & (d_s > 1e-3) & (~found)
-        out_z_ref[:] = jnp.where(ok, d_s, out_z_ref[:])
-        out_r_ref[:] = jnp.where(ok, shifted(cr_ref), out_r_ref[:])
-        out_g_ref[:] = jnp.where(ok, shifted(cg_ref), out_g_ref[:])
-        out_b_ref[:] = jnp.where(ok, shifted(cb_ref), out_b_ref[:])
-        out_found_ref[:] = jnp.where(ok, 1.0, out_found_ref[:])
-        return 0
+            def shifted(ref):
+                seg = ref[:, pl.ds(q, seg_w)]
+                # left-shift by k == non-negative roll by (seg_w - k)
+                nb = pltpu.roll(seg, seg_w - 1, axis=1)  # +1 neighbor
+                lerped = (1.0 - f) * seg + f * nb
+                rot = pltpu.roll(lerped, jnp.where(r == 0, 0, seg_w - r),
+                                 axis=1)  # dynamic sub-lane left shift
+                return rot[:, :width]
 
-    jax.lax.fori_loop(0, num_planes, body, 0)
+            found = out_found_ref[:] > 0.5
+            d_s = shifted(depth_ref)
+            ok = (jnp.abs(d_s - z_p) < tol) & (d_s > 1e-3) & (~found)
+            out_z_ref[:] = jnp.where(ok, d_s, out_z_ref[:])
+            for cr, oc in zip(chan_refs, out_chan_refs):
+                oc[:] = jnp.where(ok, shifted(cr), oc[:])
+            out_found_ref[:] = jnp.where(ok, 1.0, out_found_ref[:])
+            return 0
+
+        jax.lax.fori_loop(0, num_planes, body, 0)
+
+    return kernel
 
 
 def pad_widths(width, max_disparity):
@@ -115,9 +120,9 @@ def disparity_sweep(depth_pad, color_pad, disp_int, disp_frac, plane_z,
     seg_w = w + 2 * LANE
     bh = min(block_rows, h)
     grid = (pl.cdiv(h, bh),)
+    n_chan = color_pad.shape[0]
 
-    kernel = functools.partial(_sweep_kernel, num_planes=num_planes,
-                               width=w, pad_left=pad_left, seg_w=seg_w)
+    kernel = _make_sweep_kernel(num_planes, w, pad_left, seg_w, n_chan)
 
     # index_map receives (grid_idx, *scalar_prefetch_refs)
     row_spec = pl.BlockSpec((bh, wp), lambda i, *_: (i, 0),
@@ -128,15 +133,17 @@ def disparity_sweep(depth_pad, color_pad, disp_int, disp_frac, plane_z,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=grid,
-        in_specs=[row_spec, row_spec, row_spec, row_spec],
-        out_specs=[out_spec] * 5,
+        in_specs=[row_spec] * (1 + n_chan),
+        out_specs=[out_spec] * (2 + n_chan),
     )
     out_shape = [jax.ShapeDtypeStruct((h, w), jnp.float32)
-                 for _ in range(5)]
-    best_z, r, g, b, found = pl.pallas_call(
+                 for _ in range(2 + n_chan)]
+    outs = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
     )(disp_int, disp_frac, plane_z, plane_tol,
-      depth_pad, color_pad[0], color_pad[1], color_pad[2])
-    color = jnp.stack([r, g, b], axis=-1)
+      depth_pad, *[color_pad[i] for i in range(n_chan)])
+    best_z = outs[0]
+    color = jnp.stack(outs[1:1 + n_chan], axis=-1)
+    found = outs[1 + n_chan]
     return best_z, color, found > 0.5

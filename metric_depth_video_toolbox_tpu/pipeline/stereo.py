@@ -74,6 +74,9 @@ class StereoConfig:
     warp_method: str = "sweep"
     num_planes: int = 128
     has_convergence: bool = True
+    # 'shift' = HIT (horizontal image translation, free in the sweep);
+    # 'rotate' = the reference's exact toe-in (rotation resample pre-pass)
+    convergence_mode: str = "shift" 
 
 
 # ---------------------------------------------------------------------------
@@ -122,14 +125,25 @@ def render_eye(depth, color, k, render_k, transform, eye_shift_m,
     m_eye = geo.translation_matrix(-eye_shift_m, 0.0, 0.0) @ \
         geo.rotation_y(sign * conv_angle) @ transform
 
+    rotate_conv = cfg.has_convergence and cfg.convergence_mode == "rotate"
+    # HIT convergence: inverse depth of the convergence plane, from the
+    # toe-in angle: tan(angle) = (ipd/2) / z_conv
+    half_ipd = cfg.pupillary_distance_m / 2.0
+    conv_inv_z = jnp.tan(conv_angle) / half_ipd
+
     if cfg.warp_method == "sweep":
-        # Pallas fast path: same-camera re-render, x-only translation
-        # (+ optional toe-in rotation neutralized by one exact resample)
+        # Pallas fast path: same-camera re-render, x-only translation.
+        # Convergence handling: 'shift' (default) = HIT folded into the
+        # plane disparities (free); 'rotate' = the reference's exact
+        # toe-in via a rotation-neutralizing resample (slower).
+        m_sweep = m_eye if rotate_conv else \
+            geo.translation_matrix(-eye_shift_m, 0.0, 0.0)
         res = rasterize.stereo_sweep_warp(
-            depth, color, k, m_eye,
+            depth, color, k, m_sweep,
             num_planes=cfg.num_planes,
             remove_edges=cfg.remove_edges,
-            neutralize_rotation=cfg.has_convergence)
+            neutralize_rotation=rotate_conv,
+            conv_inv_z=0.0 if rotate_conv else conv_inv_z)
     elif cfg.warp_method == "plane_sweep":
         res = rasterize.plane_sweep_warp(
             depth, color, k, render_k, m_eye,
@@ -151,31 +165,57 @@ def render_eye(depth, color, k, render_k, transform, eye_shift_m,
     mask_img = jnp.where(hole[..., None], GREEN, mask_img)
 
     if cfg.place_edge_points and cfg.remove_edges:
-        # Edge anchors: the culled silhouette pixels, splatted into holes so
-        # diffusion infill has color/normal seeds
-        # (reference stereo_rerender.py:589-607, 745-814).
-        pts_cam = geo.unproject_depth(depth, k, of_by_one=False)
+        # Edge anchors: the culled silhouette pixels, re-rendered into the
+        # holes so diffusion infill has color/normal seeds (reference
+        # stereo_rerender.py:589-607, 745-814). Instead of a scatter splat
+        # (slow inside fused programs), run a SECOND sweep over an
+        # edge-only depth map carrying [color, encoded normal] payloads —
+        # same projection math, VMEM speed.
         normals = geo.normals_from_depth(depth, k)
-        pts_t = geo.transform_depth_map(pts_cam, m_eye)
         rot = m_eye[:3, :3]
         normals_t = jnp.einsum("ij,hwj->hwi", rot, normals)
-        valid = res.edge_mask & (depth > 1e-4)
-        n = cfg.height * cfg.width
-        payload = jnp.concatenate([color, normals_t], axis=-1).reshape(n, 6)
-        pts_flat = pts_t.reshape(n, 3)
-        # invalidate non-edge points by pushing z behind the camera
-        pts_flat = jnp.where(valid.reshape(n, 1), pts_flat,
-                             jnp.array([0.0, 0.0, -1.0]))
-        anchor, _, amask = rasterize.splat_points(
-            pts_flat, payload, render_k,
-            (cfg.out_height, cfg.out_width))
-        write = amask & hole
-        image = jnp.where(write[..., None], anchor[..., :3], image)
-        if not cfg.green_and_black_infill_mask:
-            a_n = anchor[..., 3:]
-            a_n = a_n / (jnp.linalg.norm(a_n, axis=-1, keepdims=True) + 1e-8)
-            mask_img = jnp.where(write[..., None], (a_n + 1.0) / 2.0,
-                                 mask_img)
+        if cfg.warp_method == "sweep":
+            edge_depth = jnp.where(res.edge_mask, depth, 0.0)
+            payload = jnp.concatenate(
+                [color, (normals_t + 1.0) / 2.0], axis=-1)
+            eres = rasterize.stereo_sweep_warp(
+                edge_depth, payload, k,
+                m_eye if rotate_conv else
+                geo.translation_matrix(-eye_shift_m, 0.0, 0.0),
+                num_planes=cfg.num_planes // 2,
+                remove_edges=False,
+                neutralize_rotation=rotate_conv,
+                conv_inv_z=0.0 if rotate_conv else conv_inv_z)
+            write = eres.mask & hole
+            image = jnp.where(write[..., None], eres.color[..., :3], image)
+            if not cfg.green_and_black_infill_mask:
+                a_n = eres.color[..., 3:] * 2.0 - 1.0
+                a_n = a_n / (jnp.linalg.norm(a_n, axis=-1,
+                                             keepdims=True) + 1e-8)
+                mask_img = jnp.where(write[..., None], (a_n + 1.0) / 2.0,
+                                     mask_img)
+        else:
+            pts_cam = geo.unproject_depth(depth, k, of_by_one=False)
+            pts_t = geo.transform_depth_map(pts_cam, m_eye)
+            valid = res.edge_mask & (depth > 1e-4)
+            n = cfg.height * cfg.width
+            payload = jnp.concatenate([color, normals_t],
+                                      axis=-1).reshape(n, 6)
+            pts_flat = pts_t.reshape(n, 3)
+            # invalidate non-edge points by pushing z behind the camera
+            pts_flat = jnp.where(valid.reshape(n, 1), pts_flat,
+                                 jnp.array([0.0, 0.0, -1.0]))
+            anchor, _, amask = rasterize.splat_points(
+                pts_flat, payload, render_k,
+                (cfg.out_height, cfg.out_width))
+            write = amask & hole
+            image = jnp.where(write[..., None], anchor[..., :3], image)
+            if not cfg.green_and_black_infill_mask:
+                a_n = anchor[..., 3:]
+                a_n = a_n / (jnp.linalg.norm(a_n, axis=-1,
+                                             keepdims=True) + 1e-8)
+                mask_img = jnp.where(write[..., None], (a_n + 1.0) / 2.0,
+                                     mask_img)
 
     if cfg.make_infill_mask or cfg.do_basic_infill:
         if not cfg.green_and_black_infill_mask:
@@ -185,8 +225,9 @@ def render_eye(depth, color, k, render_k, transform, eye_shift_m,
             # (reference stereo_rerender.py:806-808: TELEA + masked blur)
             is_green = jnp.all(mask_img == GREEN, axis=-1)
             is_black = jnp.all(mask_img == 0.0, axis=-1)
-            filled = im.inpaint_diffusion(mask_img, is_green | is_black,
-                                          iterations=cfg.inpaint_iters)
+            filled = im.inpaint_diffusion_multiscale(
+                mask_img, is_green | is_black,
+                coarse_iters=cfg.inpaint_iters // 2, fine_iters=4)
             mask_img = jnp.where(is_green[..., None], filled, mask_img)
             keep = ~jnp.all(mask_img == 0.0, axis=-1)
             mask_img = im.masked_blur(mask_img, ksize=5, valid_mask=keep)

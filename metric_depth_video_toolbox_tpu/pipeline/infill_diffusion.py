@@ -158,3 +158,53 @@ def infill_sbs_video_diffusion(sbs_video, infill_mask_video, output=None,
                              jnp.asarray(masks_rgb))
     vio.save_rgb_video(np.asarray(out_frames), output, sv.fps)
     return output
+
+
+# Engine presets mirroring the reference infill zoo's working shapes
+# (SURVEY.md §2.3): chunk/overlap/resolution and behavioral flags.
+ENGINE_PRESETS = {
+    # stereo_crafter_infill.py:220,97-99 — 25/6 chunks at 1024x768
+    "stereocrafter": dict(chunk=25, overlap=6, work_hw=(768, 1024),
+                          mirror_left=True, drift_correct=False),
+    # m2svid_infill.py:215-219 — 512x512 frames, mono-video conditioning
+    "m2svid": dict(chunk=25, overlap=6, work_hw=(512, 512),
+                   mirror_left=True, drift_correct=False,
+                   mono_conditioning=True),
+    # inspatio_world_infill.py:36-42 — 225/6 chunks at 480x832, shared
+    # source latents + drift correction
+    "inspatio_world": dict(chunk=225, overlap=6, work_hw=(480, 832),
+                           mirror_left=False, drift_correct=True,
+                           mono_conditioning=True),
+}
+
+
+def make_engine(preset="stereocrafter", cfg=None, params=None, **overrides):
+    """Build a DiffusionInfillEngine + driver kwargs from a preset."""
+    p = dict(ENGINE_PRESETS[preset])
+    p.update(overrides)
+    eng = DiffusionInfillEngine(cfg=cfg, params=params,
+                                work_hw=p.pop("work_hw"),
+                                chunk=p["chunk"], overlap=p["overlap"])
+    return eng, p
+
+
+def infill_sbs_video_external(sbs_video, infill_mask_video, command,
+                              output=None, color_video=None):
+    """External infill engine hook: run a user-supplied command with the
+    reference's CLI contract (the role of the author's private
+    stereo_dissoclusion_net_infill.py wrapper). The command receives
+    --sbs_color_video / --sbs_mask_video / --output and must write the
+    infilled video to --output."""
+    import subprocess
+    output = output or (sbs_video + "_infilled.mkv")
+    argv = list(command) + ["--sbs_color_video", sbs_video,
+                            "--sbs_mask_video", infill_mask_video,
+                            "--output", output]
+    if color_video:
+        argv += ["--color_video", color_video]
+    res = subprocess.run(argv, capture_output=True, text=True)
+    if res.returncode != 0:
+        raise RuntimeError(
+            f"external infill engine failed ({res.returncode}):\n"
+            f"{res.stderr[-2000:]}")
+    return output

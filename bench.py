@@ -67,33 +67,35 @@ def bench_stereo(jit_warm=True):
     return BATCH * ITERS / dt
 
 
-def bench_depth_inference():
+def bench_depth_inference(size="vits", batch=None, hw=(14 * 37, 14 * 66)):
     import jax
     import jax.numpy as jnp
 
     from metric_depth_video_toolbox_tpu.models import depth_anything as da
 
-    cfg = da.preset("vits", metric=False)
+    batch = batch or DEPTH_BATCH
+    cfg = da.preset(size, metric=False)
     model = da.DepthAnything(cfg)
-    wh, ww = 14 * 28, 14 * 49  # 392 x 686 working res (14-multiple, ~16:9)
     x = jnp.asarray(np.random.default_rng(1).uniform(
-        0, 1, (DEPTH_BATCH, wh, ww, 3)).astype(np.float32))
+        0, 1, (batch,) + hw + (3,)).astype(np.float32))
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    jax.block_until_ready(params)
     fwd = jax.jit(lambda p, v: model.apply(p, v))
     out = fwd(params, x)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(DEPTH_ITERS):
         out = fwd(params, x)
-    jax.block_until_ready(out)
+        jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    return DEPTH_BATCH * DEPTH_ITERS / dt
+    return batch * DEPTH_ITERS / dt
 
 
-def bench_reference_equivalent_numpy(n_frames=2):
+def bench_reference_equivalent_numpy(n_frames=3):
     """Single-thread numpy version of the same per-frame work the reference
     does on host (unproject -> transform -> project -> 2x z-buffer splat),
-    as the baseline denominator."""
+    as the baseline denominator. The host core is shared, so the median
+    of per-frame timings is reported."""
     rng = np.random.default_rng(0)
     depth, color = _synth_batch(rng, 1)
     depth, color = depth[0], color[0]
@@ -101,8 +103,9 @@ def bench_reference_equivalent_numpy(n_frames=2):
     cx, cy = W / 2, H / 2
     xs, ys = np.meshgrid(np.arange(W, dtype=np.float32),
                          np.arange(H, dtype=np.float32))
-    t0 = time.perf_counter()
+    times = []
     for _ in range(n_frames):
+        t0 = time.perf_counter()
         for shift in (-0.0315, 0.0315):
             x3 = (xs - cx) * depth / fx + shift
             y3 = (ys - cy) * depth / fx
@@ -116,15 +119,15 @@ def bench_reference_equivalent_numpy(n_frames=2):
             img = np.zeros((H * W, 3), np.uint8)
             win = z[ok] <= zbuf[flat] + 1e-3
             img[flat[win]] = color[ok][win]
-    dt = time.perf_counter() - t0
-    return n_frames / dt
+        times.append(time.perf_counter() - t0)
+    return 1.0 / float(np.median(times))
 
 
 def main():
     stereo_fps = bench_stereo()
-    depth_fps = bench_depth_inference()
+    depth_fps = bench_depth_inference("vitl", batch=4)
     combined = 1.0 / (1.0 / stereo_fps + 1.0 / depth_fps)
-    ref_fps = bench_reference_equivalent_numpy()
+    ref_fps = bench_reference_equivalent_numpy(n_frames=5)
     # reference pipeline also needs depth inference; its stereo path alone
     # is the dominant cost we can measure here, so compare combined vs it.
     result = {
@@ -134,7 +137,7 @@ def main():
         "vs_baseline": round(combined / ref_fps, 2),
         "detail": {
             "stereo_render_fps": round(stereo_fps, 3),
-            "depth_inference_fps_vits": round(depth_fps, 3),
+            "depth_inference_fps_vitl_518": round(depth_fps, 3),
             "reference_equiv_numpy_fps": round(ref_fps, 3),
         },
     }

@@ -21,6 +21,7 @@ import dataclasses
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -71,11 +72,11 @@ class Attention(nn.Module):
         def heads(t):
             return t.reshape(t.shape[:-1] + (c.num_heads, d // c.num_heads))
         q, k, v = heads(q), heads(k), heads(v)
-        scale = (d // c.num_heads) ** -0.5
-        attn = jnp.einsum("...qhc,...khc->...hqk", q * scale, k,
-                          preferred_element_type=jnp.float32)
-        attn = nn.softmax(attn, axis=-1).astype(c.compute_dtype)
-        out = jnp.einsum("...hqk,...khc->...qhc", attn, v)
+        # fused attention: avoids materializing the (N, N) score matrix in
+        # f32 to HBM (the naive path is memory-bound at ViT-L token counts)
+        out = jax.nn.dot_product_attention(
+            q.astype(c.compute_dtype), k.astype(c.compute_dtype),
+            v.astype(c.compute_dtype))
         out = out.reshape(out.shape[:-2] + (d,))
         return nn.Dense(d, dtype=c.compute_dtype, name="proj")(out)
 

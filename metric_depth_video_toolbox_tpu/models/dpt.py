@@ -22,6 +22,12 @@ class DPTConfig:
     features: int = 128
     out_channels: Sequence[int] = (96, 192, 384, 768)
     dtype: str = "bfloat16"
+    # fast_head: run the 3x3 channel-reducing head conv BEFORE the final
+    # full-resolution upsample (the standard DPT order costs a full-res
+    # 3x3 conv on `features//2` channels — several TFLOPs at 518-class
+    # inputs). Disable when loading converted torch checkpoints to match
+    # the original op order exactly.
+    fast_head: bool = True
 
     @property
     def compute_dtype(self):
@@ -99,8 +105,16 @@ class DPTHead(nn.Module):
 
         x = nn.Conv(c.features // 2, (3, 3), dtype=c.compute_dtype,
                     name="head_conv1")(x)
-        x = _resize(x, (gh * self.patch_size, gw * self.patch_size))
-        x = nn.Conv(32, (3, 3), dtype=c.compute_dtype, name="head_conv2")(x)
-        x = nn.relu(x)
+        full_hw = (gh * self.patch_size, gw * self.patch_size)
+        if c.fast_head:
+            x = nn.Conv(32, (3, 3), dtype=c.compute_dtype,
+                        name="head_conv2")(x)
+            x = nn.relu(x)
+            x = _resize(x, full_hw)
+        else:
+            x = _resize(x, full_hw)
+            x = nn.Conv(32, (3, 3), dtype=c.compute_dtype,
+                        name="head_conv2")(x)
+            x = nn.relu(x)
         x = nn.Conv(1, (1, 1), dtype=jnp.float32, name="head_conv3")(x)
         return nn.relu(x)

@@ -146,7 +146,9 @@ class RingBuffer:
         if self._lib is not None:
             return int(self._lib.ring_push(self._h, data.ctypes.data,
                                            data.size))
-        n = min(data.size, self._cap - self._used)
+        # Match the C++ SPSC ring: one slot is kept free to disambiguate
+        # full from empty, so usable capacity is cap - 1.
+        n = min(data.size, self._cap - 1 - self._used)
         if n:
             self._q.append(bytes(data[:n]))
             self._used += n

@@ -145,15 +145,63 @@ def geometrycrafter_main(argv=None):
 
 
 def mvsa_main(argv=None):
+    """Plane-sweep cost-volume MVS (reference video_mvsa.py:70-78 flags:
+    window = ref count around target, resize_w = model input width)."""
     p = _base_parser("MVSAnywhere-class pose-conditioned multi-view "
                      "stereo depth.", require_fov=True)
     p.add_argument("--transformation_file", type=str, required=True)
+    p.add_argument("--window", default=7, type=int,
+                   help="ref count around target (odd recommended)")
+    p.add_argument("--resize_w", default=1024, type=int,
+                   help="model input width; keeps aspect")
+    p.add_argument("--rescale_to_cost_volume", action="store_true",
+                   help="apply the median cost-volume/refined depth "
+                   "ratio per frame")
     args = p.parse_args(argv)
-    # MVS cost-volume engine: covered by the single-frame engine fused
-    # with pose-conditioned plane-sweep (ops.rasterize warps); per-frame
-    # median-ratio rescale parity lives in solvers.median_ratio_scale.
-    return _run_single_frame(args, save_xfovs=False)
+    from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
+    params = None
+    if args.checkpoint:
+        from metric_depth_video_toolbox_tpu.models import convert
+        params = convert.load_checkpoint(args.checkpoint)
+    outs = dstage.run_batch(
+        "mvsa", args.color_video, max_depth=args.max_depth,
+        max_frames=args.max_frames, xfov=args.xfov, yfov=args.yfov,
+        transformation_file=args.transformation_file,
+        size=args.model_size, window=args.window, resize_w=args.resize_w,
+        rescale_to_cost_volume=args.rescale_to_cost_volume,
+        params=params)
+    for o in outs:
+        print(f"depth video saved: {o}")
+    return outs
+
+
+MAINS = {
+    "unidepth": unidepth_main,
+    "unik3d": unik3d_main,
+    "moge": moge_main,
+    "depthpro": depthpro_main,
+    "videoanythingmetric": videoanythingmetric_main,
+    "da3": da3_main,
+    "depthcrafter": depthcrafter_main,
+    "geometrycrafter": geometrycrafter_main,
+    "mvsa": mvsa_main,
+}
+
+
+def main(argv=None):
+    """``mdvt engine <name> ...`` — dispatch to one engine CLI."""
+    import sys
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: mdvt engine <name> [engine flags]\n"
+              f"engines: {', '.join(MAINS)}")
+        return 0 if argv else 2
+    name = argv[0]
+    if name not in MAINS:
+        print(f"unknown engine '{name}'; one of: {', '.join(MAINS)}")
+        return 2
+    return MAINS[name](argv[1:])
 
 
 if __name__ == "__main__":
-    unidepth_main()
+    main()

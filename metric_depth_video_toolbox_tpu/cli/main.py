@@ -44,6 +44,7 @@ SUBCOMMANDS = {
     "upscale": "metric_depth_video_toolbox_tpu.cli.upscale_depth",
     "project": "metric_depth_video_toolbox_tpu.cli.project",
     "inpaint": "metric_depth_video_toolbox_tpu.cli.apply_inpainting",
+    "engine": "metric_depth_video_toolbox_tpu.cli.depth_engines",
 }
 
 

@@ -196,7 +196,7 @@ def run_single_frame(color_video, max_depth=100.0, max_frames=-1,
 # kwargs consumed by the runner functions; everything else goes to the
 # engine constructor.
 _RUN_KEYS = ("max_depth", "max_frames", "reference_depth_video", "xfov",
-             "save_xfovs")
+             "yfov", "save_xfovs", "transformation_file")
 
 _ENGINE_CLASSES = {"vda": VDAEngine, "single_frame": SingleFrameEngine}
 
@@ -335,5 +335,133 @@ def run_depthcrafter(color_video, max_depth=100.0, max_frames=-1,
     return out
 
 
+class MVSEngine:
+    """MVSAnywhere-class pose-conditioned plane-sweep MVS (reference
+    video_mvsa.py): per-frame window of +-half_w source views built from
+    the *_transformations.json camera track, cost-volume + refined depth,
+    median-ratio consistency between them.
+
+    TPU design: the view window is padded to a static V with a validity
+    mask so one jitted program covers every frame; frames are processed
+    in batches (the 'data' mesh axis for multi-chip)."""
+
+    def __init__(self, size="base", max_depth=100.0, window=7,
+                 resize_w=1024, params=None, batch=4, rng_seed=0,
+                 rescale_to_cost_volume=False, **_):
+        from metric_depth_video_toolbox_tpu.models import mvs as mvs_mod
+        self.mvs_mod = mvs_mod
+        self.cfg = mvs_mod.preset(size, max_depth=max_depth)
+        self.model = mvs_mod.MVSNet(self.cfg)
+        self.max_depth = max_depth
+        self.half_w = max(1, int(window) // 2)
+        self.resize_w = resize_w
+        self.batch = batch
+        self.rescale = rescale_to_cost_volume
+        self._params = params
+        self._rng = jax.random.PRNGKey(rng_seed)
+        self._jit = None
+
+    def _window_indices(self, i, n):
+        """Source indices around frame i, padded to 2*half_w with i
+        (self) and marked invalid (reference video_mvsa.py:151-162)."""
+        idx = [j for j in range(i - self.half_w, i + self.half_w + 1)
+               if 0 <= j < n and j != i]
+        if not idx:
+            idx = [min(n - 1, max(0, i + 1))]
+        valid = [1.0] * len(idx)
+        v = 2 * self.half_w
+        while len(idx) < v:
+            idx.append(i)
+            valid.append(0.0)
+        return idx[:v], valid[:v]
+
+    def infer_video(self, frames_u8, transforms, xfov, yfov=None):
+        from metric_depth_video_toolbox_tpu.ops import geometry as geo
+        n, h, w = frames_u8.shape[:3]
+        scale = min(1.0, self.resize_w / w)
+        wh, ww = int(round(h * scale)) // 4 * 4, int(round(w * scale)) \
+            // 4 * 4
+        k_work = np.asarray(geo.camera_matrix_from_fov(ww, wh, xfov, yfov))
+        k_feat = jnp.asarray(np.diag([0.25, 0.25, 1.0]) @ k_work,
+                             jnp.float32)
+        small = np.stack([
+            np.asarray(jax.image.resize(
+                jnp.asarray(f, jnp.float32), (wh, ww, 3), "bilinear"))
+            for f in frames_u8]).astype(np.float32)
+        c2w = np.asarray(transforms, np.float32)
+        w2c = np.stack([np.linalg.inv(t) for t in c2w])
+
+        if self._jit is not None and self._jit_key != (wh, ww):
+            self._jit = None  # resolution changed between videos
+        if self._jit is None:
+            self._jit_key = (wh, ww)
+            if self._params is None:
+                z = jnp.zeros((wh, ww, 3))
+                zs = jnp.zeros((2 * self.half_w, wh, ww, 3))
+                zp = jnp.tile(jnp.eye(4), (2 * self.half_w, 1, 1))
+                zv = jnp.ones((2 * self.half_w,))
+                self._params = jax.jit(self.model.init)(
+                    self._rng, z, zs, k_feat, zp, zv)
+            self._jit = jax.jit(
+                lambda p, r, s, rp, vv: jax.vmap(
+                    lambda r1, s1, p1, v1: self.model.apply(
+                        p, r1, s1, k_feat, p1, v1))(r, s, rp, vv))
+
+        outs = []
+        b = self.batch
+        for start in range(0, n, b):
+            ids = list(range(start, min(start + b, n)))
+            while len(ids) < b:
+                ids.append(ids[-1])
+            refs, srcs, poses, valids = [], [], [], []
+            for i in ids:
+                idx, val = self._window_indices(i, n)
+                refs.append(small[i])
+                srcs.append(small[idx])
+                poses.append(np.stack([w2c[j] @ c2w[i] for j in idx]))
+                valids.append(val)
+            out = robust_call(
+                self._jit, self._params,
+                jnp.asarray(np.stack(refs)) / 255.0,
+                jnp.asarray(np.stack(srcs)) / 255.0,
+                jnp.asarray(np.stack(poses)),
+                jnp.asarray(np.stack(valids)))
+            d = out["depth"]
+            if self.rescale:
+                s = jax.vmap(lambda cv, dd, m: solvers.median_ratio_scale(
+                    cv, dd, m.astype(jnp.float32)))(
+                        jnp.asarray(out["depth_cv"]), jnp.asarray(d),
+                        jnp.asarray(out["mask"]))
+                d = np.asarray(d) * np.asarray(s).reshape(-1, 1, 1)
+            d = np.asarray(jax.image.resize(
+                jnp.asarray(d), (b, h, w), "nearest"))
+            outs.append(np.clip(d, 0, self.max_depth)[:min(b, n - start)])
+        return np.concatenate(outs, axis=0)[:n]
+
+
+@register_engine("mvsa")
+def run_mvsa(color_video, max_depth=100.0, max_frames=-1, engine=None,
+             transformation_file=None, xfov=None, yfov=None, **kw):
+    """video_mvsa.py equivalent (poses + FOV required)."""
+    if transformation_file is None:
+        raise ValueError("mvsa engine requires --transformation_file "
+                         "(reference video_mvsa.py:73)")
+    if xfov is None and yfov is None:
+        raise ValueError("mvsa engine requires --xfov or --yfov")
+    eng = engine or MVSEngine(max_depth=max_depth, **kw)
+    frames, fps = vio.read_video_frames(color_video, max_frames=max_frames)
+    transforms = sidecar.load_transformations(transformation_file)
+    if len(transforms) < frames.shape[0]:
+        raise ValueError(
+            f"transformation file has {len(transforms)} entries for "
+            f"{frames.shape[0]} frames")
+    depth = eng.infer_video(frames, transforms[:frames.shape[0]], xfov,
+                            yfov)
+    out = color_video + "_depth.mkv"
+    vio.save_depth_video(depth, out, fps, max_depth)
+    return out
+
+
 _ENGINE_CLASSES["da3"] = DA3PipelineEngine
 _ENGINE_CLASSES["depthcrafter"] = DepthCrafterEngine
+_ENGINE_CLASSES["mvsa"] = MVSEngine

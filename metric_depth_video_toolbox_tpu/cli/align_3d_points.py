@@ -11,6 +11,8 @@ def build_parser(parser=None):
         description="Solve per-frame camera poses from 2D tracks + depth.")
     p.add_argument("--depth_video", type=str, required=True)
     p.add_argument("--track_file", type=str, required=True)
+    p.add_argument("--color_video", type=str,
+                   help="color video; enables the debug overlay video")
     p.add_argument("--xfov", type=float)
     p.add_argument("--yfov", type=float)
     p.add_argument("--max_depth", default=100, type=float)
@@ -36,7 +38,7 @@ def run(args):
         args.depth_video, args.track_file, xfov=args.xfov, yfov=args.yfov,
         max_depth=args.max_depth, solver=solver,
         mask_video=args.mask_video, strict_mask=args.strict_mask,
-        max_frames=args.max_frames)
+        max_frames=args.max_frames, color_video=args.color_video)
     print(f"transformations saved: {out}")
     return out
 

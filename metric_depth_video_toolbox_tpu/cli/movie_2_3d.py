@@ -17,23 +17,38 @@ def build_parser(parser=None):
     p.add_argument("--max_depth", default=100, type=float)
     p.add_argument("--max_scene_frames", default=1500, type=int)
     p.add_argument("--scene_file", type=str)
+    p.add_argument("--csv_delimiter", type=str, default=",",
+                   help="delimiter used in the scene csv")
     p.add_argument("--end_scene", default=-1, type=int)
+    p.add_argument("--no_render", action="store_true",
+                   help="skip rendering and subsequent steps")
     p.add_argument("--batch_size", default=8, type=int)
     p.add_argument("--parallel", default=0, type=int,
                    help="host IO worker threads (device work is batched)")
+    p.add_argument("--gui", action="store_true",
+                   help="this build is headless; points to the project "
+                        "manager (mdvt project)")
     return p
 
 
 def run(args):
+    if args.gui:
+        raise SystemExit(
+            "this build is headless; use the project manager instead: "
+            "mdvt project --help")
     from metric_depth_video_toolbox_tpu.pipeline import movie
     out = movie.movie_to_3d(
         args.color_video, output_dir=args.output_dir,
         engine=args.depth_engine, infill_engine=args.infill_engine,
         xfov=args.xfov, max_depth=args.max_depth,
         max_scene_frames=args.max_scene_frames,
-        scene_file=args.scene_file, end_scene=args.end_scene,
+        scene_file=args.scene_file, csv_delimiter=args.csv_delimiter,
+        end_scene=args.end_scene, no_render=args.no_render,
         batch_size=args.batch_size)
-    print(f"3D movie saved: {out}")
+    if args.no_render:
+        print("stopped before rendering (--no_render)")
+    else:
+        print(f"3D movie saved: {out}")
     return out
 
 

@@ -13,13 +13,29 @@ def build_parser(parser=None):
         description="Dense optical flow video (RAFT-class).")
     p.add_argument("--color_video", type=str, required=True)
     p.add_argument("--max_frames", default=-1, type=int)
-    p.add_argument("--batch_size", default=4, type=int)
+    p.add_argument("--batch_size", "--batch", dest="batch_size",
+                   default=4, type=int,
+                   help="pairs per forward pass (streamed)")
+    p.add_argument("--last_mode", choices=["prev", "self", "none"],
+                   default="prev",
+                   help="how to emit a flow frame for the final input "
+                        "frame: duplicate the previous flow, compute "
+                        "flow(last,last), or write one fewer frame")
+    p.add_argument("--cpu", action="store_true", help="force CPU")
+    p.add_argument("--amp", action="store_true",
+                   help="accepted for reference-flag parity; compute is "
+                        "already bfloat16 on the MXU")
+    p.add_argument("--channels_last", action="store_true",
+                   help="accepted for parity; layout is always NHWC")
     p.add_argument("--checkpoint", type=str)
     return p
 
 
 def run(args):
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from metric_depth_video_toolbox_tpu.io import video as vio
@@ -46,6 +62,7 @@ def run(args):
     prev = None
     batch_a, batch_b = [], []
     n = 0
+    last_rgb = [None]  # last emitted flow frame (for last_mode=prev)
 
     def flush():
         nonlocal n, params
@@ -74,6 +91,7 @@ def run(args):
                 raise
             for f in rgb:
                 writer.write(f)
+                last_rgb[0] = np.asarray(f)
                 n += 1
             start += chunk
         batch_a.clear()
@@ -86,7 +104,15 @@ def run(args):
             if len(batch_a) == args.batch_size:
                 flush()
         prev = frame
+    # one flow frame for the final input frame (reference
+    # optical_flow.py:242-248 last_mode semantics)
+    if args.last_mode == "self" and prev is not None:
+        batch_a.append(prev)
+        batch_b.append(prev)
     flush()
+    if args.last_mode == "prev" and last_rgb[0] is not None:
+        writer.write(last_rgb[0])
+        n += 1
     reader.close()
     writer.commit(n)
     print(f"flow video saved: {out_path}")

@@ -11,7 +11,8 @@ import numpy as np
 def build_parser(parser=None):
     p = parser or argparse.ArgumentParser(
         description="Split a side-by-side video into _left/_right videos.")
-    p.add_argument("--sbs_video", type=str, required=True)
+    p.add_argument("--sbs_video", "--color_video", dest="sbs_video",
+                   type=str, required=True)
     p.add_argument("--max_frames", default=-1, type=int)
     return p
 

@@ -38,6 +38,8 @@ def build_parser(parser=None):
     p.add_argument("--dont_place_points_in_edges", action="store_true")
     p.add_argument("--do_basic_infill", action="store_true")
     p.add_argument("--create_sbs_depth_video", action="store_true")
+    p.add_argument("--render_as_pointcloud", action="store_true",
+                   help="splat points instead of filled surface cells")
     p.add_argument("--batch_size", default=8, type=int)
     p.add_argument("--compressed", action="store_true")
     p.add_argument("--mask_video", type=str,
@@ -93,7 +95,8 @@ def run(args):
         touchly_min_depth=args.touchly_min_depth,
         transformation_lock_frame=args.transformation_lock_frame,
         mask_video=args.mask_video, save_background=args.save_background,
-        load_background=args.load_background)
+        load_background=args.load_background,
+        render_as_pointcloud=args.render_as_pointcloud)
     print(f"Processing complete. Output saved to: {out}")
     return out
 

@@ -12,7 +12,20 @@ def build_parser(parser=None):
     p.add_argument("--max_frames", default=-1, type=int)
     p.add_argument("--grid", default=36, type=int)
     p.add_argument("--clip_len", default=120, type=int)
-    p.add_argument("--track_visualization", action="store_true")
+    p.add_argument("--downscale", default=1, type=int,
+                   help="downscale frames before tracking (coordinates "
+                        "are scaled back to full resolution)")
+    p.add_argument("--nr_iterations", default=1, type=int,
+                   help="repeat tracking with shifted grids; more "
+                        "iterations = more points")
+    p.add_argument("--steps_bewtwen_track_init",
+                   "--steps_between_track_init",
+                   dest="steps_between_init", default=60, type=int,
+                   help="clip stride: how often to seek new tracking "
+                        "points, in frames (staggered overlap streams)")
+    p.add_argument("--track_visualization",
+                   "--save_visulization_video",
+                   dest="track_visualization", action="store_true")
     return p
 
 
@@ -20,7 +33,9 @@ def run(args):
     from metric_depth_video_toolbox_tpu.pipeline import tracking
     out = tracking.track_video(
         args.color_video, clip_len=args.clip_len, grid=args.grid,
-        max_frames=args.max_frames, save_viz=args.track_visualization)
+        max_frames=args.max_frames, save_viz=args.track_visualization,
+        downscale=args.downscale, nr_iterations=args.nr_iterations,
+        steps_between_init=args.steps_between_init)
     print(f"tracking saved: {out}")
     return out
 

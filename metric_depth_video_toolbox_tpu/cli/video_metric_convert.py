@@ -20,9 +20,15 @@ def build_parser(parser=None):
                         "instead of the single-frame metric model")
     p.add_argument("--max_depth", default=100, type=float)
     p.add_argument("--max_frames", default=-1, type=int)
+    p.add_argument("--target_fps", default=-1, type=int,
+                   help="decimate input to this fps (-1 = original)")
     p.add_argument("--input_size", default=518, type=int)
-    p.add_argument("--model_size", default="vits",
+    p.add_argument("--model_size", "--model", dest="model_size",
+                   default="vits",
                    choices=["vitt", "vits", "vitb", "vitl", "vitg"])
+    p.add_argument("--fp32", action="store_true",
+                   help="full float32 inference (default is bfloat16 on "
+                        "the MXU)")
     p.add_argument("--window", type=int, default=None)
     p.add_argument("--checkpoint", type=str,
                    help="converted Flax checkpoint (models.convert)")
@@ -38,9 +44,10 @@ def run(args):
         params = convert.load_checkpoint(args.checkpoint)
     outs = dstage.run_batch(
         "vda", args.color_video, max_depth=args.max_depth,
-        max_frames=args.max_frames, input_size=args.input_size,
+        max_frames=args.max_frames, target_fps=args.target_fps,
+        input_size=args.input_size,
         size=args.model_size, window=args.window, params=params,
-        reference_depth_video=args.depth_video)
+        fp32=args.fp32, reference_depth_video=args.depth_video)
     for o in outs:
         print(f"depth video saved: {o}")
     return outs

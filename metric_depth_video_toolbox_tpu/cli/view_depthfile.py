@@ -12,8 +12,18 @@ def build_parser(parser=None):
     p.add_argument("--depth_video", type=str, required=True)
     p.add_argument("--color_video", type=str)
     p.add_argument("--xfov", type=float, default=50.0)
+    p.add_argument("--yfov", type=float)
     p.add_argument("--max_depth", default=100, type=float)
     p.add_argument("--max_frames", default=-1, type=int)
+    p.add_argument("--remove_edges", action="store_true",
+                   help="cull stretched cells at depth discontinuities")
+    p.add_argument("--show_camera", action="store_true",
+                   help="draw the source camera frustum")
+    p.add_argument("--draw_frame", default=-1, type=int,
+                   help="render only this frame")
+    p.add_argument("--compressed", action="store_true",
+                   help="lossy codec output (smaller, lower quality)")
+    p.add_argument("--transformation_lock_frame", default=0, type=int)
     p.add_argument("--transformation_file", type=str)
     p.add_argument("--mask_video", type=str)
     p.add_argument("--invert_mask", action="store_true")
@@ -42,12 +52,16 @@ def run(args):
         target = (args.tx or 0.0, args.ty or 0.0, args.tz or 0.0)
     out = view.render_novel_view_video(
         args.depth_video, color_video=args.color_video, xfov=args.xfov,
+        yfov=args.yfov,
         max_depth=args.max_depth, camera_pos=(args.x, args.y, args.z),
         look_at_target=target, transformations=transforms,
         mask_video=args.mask_video, invert_mask=args.invert_mask,
         background_ply=args.background_ply,
         as_pointcloud=args.render_as_pointcloud,
-        max_frames=args.max_frames)
+        max_frames=args.max_frames, remove_edges=args.remove_edges,
+        show_camera=args.show_camera, draw_frame=args.draw_frame,
+        compressed=args.compressed,
+        transformation_lock_frame=args.transformation_lock_frame)
     print(f"render saved: {out}")
     return out
 

@@ -104,13 +104,21 @@ class VideoReader:
             (0, self.height, self.width, 3), np.uint8)
 
 
-def read_video_frames(path, start_frame=0, max_frames=-1):
-    """Full-video load -> (frames (T,H,W,3) uint8 RGB, fps)."""
+def read_video_frames(path, start_frame=0, max_frames=-1, target_fps=-1):
+    """Full-video load -> (frames (T,H,W,3) uint8 RGB, fps).
+
+    ``target_fps`` > 0 decimates frames to approximately that rate
+    (reference video_metric_convert.py --target_fps)."""
     with VideoReader(path, start_frame, max_frames) as r:
         frames = r.read_all()
         if frames.shape[0] == 0:
             raise RuntimeError(f"no frames read from {path}")
-        return frames, r.fps
+        fps = r.fps
+        if target_fps and target_fps > 0 and target_fps < fps:
+            stride = max(1, int(round(fps / target_fps)))
+            frames = frames[::stride]
+            fps = fps / stride
+        return frames, fps
 
 
 def video_info(path):

@@ -175,7 +175,7 @@ SOLVERS = {
 def align_video(depth_video, tracking_file, xfov=None, yfov=None,
                 max_depth=100.0, solver="two_group", mask_video=None,
                 strict_mask=False, max_frames=-1, output=None,
-                max_tracks=4096):
+                max_tracks=4096, color_video=None):
     """Host driver: stream depth frames, solve each consecutive pair,
     accumulate to frame 0's space, write ``*_transformations.json``.
 
@@ -223,6 +223,14 @@ def align_video(depth_video, tracking_file, xfov=None, yfov=None,
         rgb, max_depth, average_rg=True))
     solve = SOLVERS[solver]
 
+    # debug overlay video: tracked points + solved-pose reprojection of
+    # the previous frame's points (reference :486-533)
+    cvr = dbg_writer = None
+    if color_video:
+        cvr = vio.VideoReader(color_video, max_frames=max_frames)
+        dbg_writer = vio.VideoWriter(depth_video + "_debug.mkv", dv.fps,
+                                     w, h)
+
     transforms = [np.eye(4, dtype=np.float32)]
     to_ref_zero = np.eye(4, dtype=np.float32)
     prev_depth = None
@@ -243,9 +251,39 @@ def align_video(depth_video, tracking_file, xfov=None, yfov=None,
             if n_common >= 8:
                 to_ref_zero = to_ref_zero @ to_host(m)
             transforms.append(to_ref_zero.copy())
+        if dbg_writer is not None:
+            cb = cvr.read_batch(1)
+            frame = (cb[0].copy() if cb is not None
+                     else np.zeros((h, w, 3), np.uint8))
+            for gid, x, y in np.asarray(frames[fr_n]).reshape(-1, 3):
+                xi, yi = int(x), int(y)
+                if 0 <= xi < w and 0 <= yi < h:
+                    frame[max(0, yi - 1):yi + 2,
+                          max(0, xi - 1):xi + 2] = (0, 255, 0)
+            if prev_depth is not None and fr_n > 0:
+                prev = dense[fr_n - 1]
+                ok = prev[:, 2] > 0
+                p3 = np.asarray(geo.unproject_2d_points(
+                    jnp.asarray(prev[ok, :2]),
+                    jnp.asarray(to_host(prev_depth)[
+                        np.clip(prev[ok, 1].astype(int), 0, h - 1),
+                        np.clip(prev[ok, 0].astype(int), 0, w - 1)]), k))
+                m_rel = transforms[-1] @ np.linalg.inv(transforms[-2]) \
+                    if len(transforms) >= 2 else np.eye(4)
+                p3w = p3 @ m_rel[:3, :3].T + m_rel[:3, 3]
+                z = np.maximum(p3w[:, 2], 1e-6)
+                kk = np.asarray(k)
+                us = (p3w[:, 0] * kk[0, 0] / z + kk[0, 2]).astype(int)
+                vs = (p3w[:, 1] * kk[1, 1] / z + kk[1, 2]).astype(int)
+                sel = (us >= 0) & (us < w) & (vs >= 0) & (vs < h)
+                frame[vs[sel], us[sel]] = (255, 0, 0)
+            dbg_writer.write(frame)
         prev_depth = depth
         fr_n += 1
     dv.close()
+    if dbg_writer is not None:
+        dbg_writer.commit(fr_n)
+        cvr.close()
 
     output = output or (depth_video + "_transformations.json")
     sidecar.save_transformations(output, np.asarray(transforms[:t_total]))

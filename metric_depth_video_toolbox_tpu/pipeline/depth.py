@@ -63,14 +63,20 @@ class VDAEngine:
 
     def __init__(self, size="vits", input_size=518, window=None,
                  overlap=None, params=None, anchor_params=None, rng_seed=0,
-                 metric_anchor_frames=32, max_depth=100.0):
+                 metric_anchor_frames=32, max_depth=100.0, fp32=False):
+        import dataclasses
+
         import metric_depth_video_toolbox_tpu.models.dpt as dpt_mod
         window = window or vd.VideoDepthConfig.window
         if overlap is None:
             overlap = min(vd.VideoDepthConfig.overlap, max(window // 4, 1))
+        vit_cfg = vd.vit_mod.PRESETS[size]
+        dpt_cfg = dpt_mod.DPT_TINY if size == "vitt" else dpt_mod.DPTConfig()
+        if fp32:  # reference --fp32: full-precision inference
+            vit_cfg = dataclasses.replace(vit_cfg, dtype="float32")
+            dpt_cfg = dataclasses.replace(dpt_cfg, dtype="float32")
         self.cfg = vd.VideoDepthConfig(
-            vit=vd.vit_mod.PRESETS[size],
-            dpt=dpt_mod.DPT_TINY if size == "vitt" else dpt_mod.DPTConfig(),
+            vit=vit_cfg, dpt=dpt_cfg,
             temporal_layers=1 if size == "vitt" else 2,
             window=window, overlap=min(overlap, window - 1))
         self.model = vd.VideoDepthAnything(self.cfg)
@@ -126,10 +132,11 @@ class VDAEngine:
 
 @register_engine("vda")
 def run_vda(color_video, max_depth=100.0, max_frames=-1, engine=None,
-            reference_depth_video=None, **kw):
+            reference_depth_video=None, target_fps=-1, **kw):
     """video_metric_convert.py equivalent."""
     eng = engine or VDAEngine(max_depth=max_depth, **kw)
-    frames, fps = vio.read_video_frames(color_video, max_frames=max_frames)
+    frames, fps = vio.read_video_frames(color_video, max_frames=max_frames,
+                                        target_fps=target_fps)
     ref = None
     if reference_depth_video:
         r = vio.DepthVideoReader(reference_depth_video, max_depth)
@@ -196,7 +203,7 @@ def run_single_frame(color_video, max_depth=100.0, max_frames=-1,
 # kwargs consumed by the runner functions; everything else goes to the
 # engine constructor.
 _RUN_KEYS = ("max_depth", "max_frames", "reference_depth_video", "xfov",
-             "yfov", "save_xfovs", "transformation_file")
+             "yfov", "save_xfovs", "transformation_file", "target_fps")
 
 _ENGINE_CLASSES = {"vda": VDAEngine, "single_frame": SingleFrameEngine}
 

@@ -23,6 +23,8 @@ Python loop. Union-find near-point merging stays on host (tiny).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -59,7 +61,10 @@ def export_video(depth_video, tracking_file=None, transformation_file=None,
                  min_observations=10, triangulate=False,
                  save_rescaled_depth=False, global_align=False,
                  grayscale=False, bit16_grayscale=False,
-                 remove_edges=True, output_prefix=None, max_tracks=8192):
+                 remove_edges=True, output_prefix=None, max_tracks=8192,
+                 min_frames=-1, lock_frame=0, mask_video=None,
+                 strict_mask=False, merge_close_points=False,
+                 ply_dir=None, obj_dir=None):
     """Multi-purpose exporter. Returns a dict of produced paths."""
     out = {}
     prefix = output_prefix or depth_video
@@ -74,12 +79,18 @@ def export_video(depth_video, tracking_file=None, transformation_file=None,
     transforms = None
     if transformation_file:
         transforms = sidecar.load_transformations(transformation_file)
+        if lock_frame:
+            # re-base every pose on the lock frame (reference :599-602)
+            inv_lock = np.linalg.inv(transforms[lock_frame])
+            transforms = [t @ inv_lock for t in transforms]
 
     dense = None
     if tracking_file:
         frames_tr = sidecar.load_tracking(tracking_file)
         dense, _ = sidecar.tracking_to_dense(frames_tr,
                                              max_tracks=max_tracks)
+        if mask_video:
+            dense = _mask_filter_tracks(dense, mask_video, strict_mask)
 
     dec = jax.jit(lambda rgb: codec.decode_depth_frame(
         rgb, max_depth, average_rg=True))
@@ -90,6 +101,8 @@ def export_video(depth_video, tracking_file=None, transformation_file=None,
     track_world = []
     track_valid = []
     all_depths = []  # only kept if rescaling needs a second pass
+    depth_frame_ids = []  # absolute frame numbers for all_depths
+    gray_written = 0
 
     gray_writer = None
     if grayscale:
@@ -103,6 +116,12 @@ def export_video(depth_video, tracking_file=None, transformation_file=None,
         rgb = dv.read_batch(1)
         if rgb is None:
             break
+        if min_frames != -1 and min_frames >= fr_n:
+            # start conversion after min_frames (reference :639)
+            if cv is not None:
+                cv.read_batch(1)
+            fr_n += 1
+            continue
         depth = dec(jnp.asarray(rgb[0]))
         col = None
         if cv is not None:
@@ -122,15 +141,18 @@ def export_video(depth_video, tracking_file=None, transformation_file=None,
             track_world.append(world)
             track_valid.append(ok)
 
-        if save_ply_every and fr_n % save_ply_every == 0:
+        if ply_dir is not None or (save_ply_every
+                                   and fr_n % save_ply_every == 0):
             pts = geo.transform_depth_map(
                 geo.unproject_depth(depth, k), m).reshape(-1, 3)
             cols = (col.reshape(-1, 3) if col is not None else None)
-            pcio.write_ply(f"{prefix}_frame{fr_n:06d}.ply", to_host(pts),
-                           cols)
-            out.setdefault("ply_frames", []).append(
-                f"{prefix}_frame{fr_n:06d}.ply")
-        if save_obj_every and fr_n % save_obj_every == 0:
+            ppath = (os.path.join(ply_dir, f"{fr_n:06d}.ply")
+                     if ply_dir is not None
+                     else f"{prefix}_frame{fr_n:06d}.ply")
+            pcio.write_ply(ppath, to_host(pts), cols)
+            out.setdefault("ply_frames", []).append(ppath)
+        if obj_dir is not None or (save_obj_every
+                                   and fr_n % save_obj_every == 0):
             from metric_depth_video_toolbox_tpu.ops import rasterize
             pts3 = geo.unproject_depth(depth, k, of_by_one=True)
             keep = None
@@ -138,12 +160,13 @@ def export_video(depth_video, tracking_file=None, transformation_file=None,
                 keep = ~to_host(rasterize.cell_edge_mask(pts3))
             world_pts = to_host(geo.transform_depth_map(pts3, m))
             faces = pcio.grid_mesh_faces(h, w, keep=keep)
-            pcio.write_obj(f"{prefix}_frame{fr_n:06d}.obj",
-                           world_pts.reshape(-1, 3), faces,
+            opath = (os.path.join(obj_dir, f"{fr_n:06d}.obj")
+                     if obj_dir is not None
+                     else f"{prefix}_frame{fr_n:06d}.obj")
+            pcio.write_obj(opath, world_pts.reshape(-1, 3), faces,
                            (col.reshape(-1, 3) / 255.0
                             if col is not None else None))
-            out.setdefault("obj_frames", []).append(
-                f"{prefix}_frame{fr_n:06d}.obj")
+            out.setdefault("obj_frames", []).append(opath)
 
         if gray_writer is not None:
             d = to_host(depth)
@@ -154,16 +177,18 @@ def export_video(depth_video, tracking_file=None, transformation_file=None,
             else:
                 g8 = np.clip(d / max_depth * 255.0, 0, 255).astype(np.uint8)
             gray_writer.write(np.stack([g8, g8, g8], axis=-1))
+            gray_written += 1
 
         if save_rescaled_depth:
             all_depths.append(to_host(depth))
+            depth_frame_ids.append(fr_n)
         fr_n += 1
 
     dv.close()
     if cv is not None:
         cv.close()
     if gray_writer is not None:
-        gray_writer.commit(fr_n)
+        gray_writer.commit(gray_written)
 
     tri_points = None
     tri_valid_mask = None
@@ -194,20 +219,26 @@ def export_video(depth_video, tracking_file=None, transformation_file=None,
 
         tri_path = prefix + "_triangulated.ply"
         avg_path = prefix + "_avgmonodepth.ply"
+        avg_out = avg_mono[good]
+        if merge_close_points:
+            tri_points, _ = merge_near_points(tri_points)
+            avg_out, _ = merge_near_points(avg_out)
         pcio.write_ply(tri_path, tri_points)
-        pcio.write_ply(avg_path, avg_mono[good])
+        pcio.write_ply(avg_path, avg_out)
         out["triangulated"] = tri_path
         out["avgmonodepth"] = avg_path
 
         if save_rescaled_depth and all_depths:
             out["rescaled"] = _rescale_depth_video(
                 prefix, all_depths, dense, tri, good, k, transforms,
-                max_depth, dv.fps, global_align)
+                max_depth, dv.fps, global_align,
+                frame_ids=depth_frame_ids)
     return out
 
 
 def _rescale_depth_video(prefix, depths, dense, tri_points, good, k,
-                         transforms, max_depth, fps, global_align):
+                         transforms, max_depth, fps, global_align,
+                         frame_ids=None):
     """Pass 3: rescale the mono depth video so tracked points agree with
     their triangulated positions (reference :884-931)."""
     t_frames = len(depths)
@@ -219,10 +250,11 @@ def _rescale_depth_video(prefix, depths, dense, tri_points, good, k,
     scales = np.ones(t_frames, np.float32)
     ratios_all = []
     for fi in range(t_frames):
-        m = transforms[fi] if transforms is not None else np.eye(4)
+        abs_fi = frame_ids[fi] if frame_ids is not None else fi
+        m = transforms[abs_fi] if transforms is not None else np.eye(4)
         w2c = np.linalg.inv(m)
         pts_cam = tri_points[good] @ w2c[:3, :3].T + w2c[:3, 3]
-        tr = dense[fi][good]
+        tr = dense[abs_fi][good]
         ok = tr[:, 2] > 0
         if ok.sum() < 4:
             ratios_all.append(None)
@@ -253,6 +285,88 @@ def _rescale_depth_video(prefix, depths, dense, tri_points, good, k,
 
     vio.save_depth_video(np.stack(frames_out), path, fps, max_depth)
     return path
+
+
+def render_point_cloud_video(point_sets, path, fps=24, out_hw=(480, 640),
+                             xfov=60.0, n_frames=72, radius=1):
+    """Offline turntable render of one or more point clouds — the
+    headless stand-in for the reference's blocking Open3D viewer
+    (``--show_scene_point_clouds``, reference :845-851). Each set is
+    (points, colors-or-None); sets get distinct fallback colors."""
+    from metric_depth_video_toolbox_tpu.ops import rasterize
+    fallback = np.asarray([[220, 90, 60], [60, 140, 220], [90, 200, 90]],
+                          np.float32)
+    pts_all, col_all = [], []
+    for i, (pts, cols) in enumerate(point_sets):
+        pts = np.asarray(pts, np.float32)
+        if cols is None:
+            cols = np.broadcast_to(fallback[i % len(fallback)],
+                                   pts.shape).copy()
+        pts_all.append(pts)
+        col_all.append(np.asarray(cols, np.float32))
+    pts = np.concatenate(pts_all)
+    cols = np.concatenate(col_all)
+    center = np.median(pts, axis=0)
+    rad = float(np.percentile(np.linalg.norm(pts - center, axis=1), 90))
+    rad = max(rad, 1e-3) * 2.2
+    k = jnp.asarray(np.asarray(geo.camera_matrix_from_fov(
+        out_hw[1], out_hw[0], xfov_deg=xfov), np.float32))
+
+    pj = jnp.asarray(pts)
+    cj = jnp.asarray(cols)
+
+    @jax.jit
+    def render(world_to_cam):
+        cam = pj @ world_to_cam[:3, :3].T + world_to_cam[:3, 3]
+        img, _, mask = rasterize.splat_points(cam, cj, k, out_hw,
+                                              radius=radius)
+        return jnp.where(mask[..., None], img, 16.0)
+
+    wr = vio.VideoWriter(path, fps, out_hw[1], out_hw[0])
+    for fi in range(n_frames):
+        ang = 2 * np.pi * fi / n_frames
+        eye = center + rad * np.asarray(
+            [np.sin(ang), -0.25, np.cos(ang)], np.float32)
+        z = center - eye
+        z = z / np.linalg.norm(z)
+        x = np.cross(np.asarray([0, 1, 0], np.float32), z)
+        x = x / (np.linalg.norm(x) + 1e-9)
+        y = np.cross(z, x)
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, :3] = np.stack([x, y, z])
+        w2c[:3, 3] = -w2c[:3, :3] @ eye
+        img = to_host(render(jnp.asarray(w2c)))
+        wr.write(np.clip(img, 0, 255).astype(np.uint8))
+    wr.commit(n_frames)
+    return path
+
+
+def _mask_filter_tracks(dense, mask_video, strict):
+    """Invalidate track observations that land on masked pixels
+    (reference :659-681). ``strict`` kills the whole track if any of its
+    observations was ever masked."""
+    dense = dense.copy()
+    mv = vio.VideoReader(mask_video)
+    ever_masked = np.zeros(dense.shape[1], bool)
+    h, w = mv.height, mv.width
+    for fi in range(dense.shape[0]):
+        mb = mv.read_batch(1)
+        if mb is None:
+            print("WARNING: mask video ended before other videos")
+            break
+        mask = mb[0][..., 0]
+        tr = dense[fi]
+        ok = tr[:, 2] > 0
+        xi = np.clip(np.round(tr[:, 0]).astype(int), 0, w - 1)
+        yi = np.clip(np.round(tr[:, 1]).astype(int), 0, h - 1)
+        oob = (tr[:, 0] >= w) | (tr[:, 1] >= h)
+        hit = ok & (oob | (mask[yi, xi] > 0))
+        dense[fi][hit, 2] = 0.0
+        ever_masked |= hit
+    mv.close()
+    if strict:
+        dense[:, ever_masked, 2] = 0.0
+    return dense
 
 
 def merge_near_points(points, colors=None, radius=0.003):

@@ -245,15 +245,17 @@ def movie_to_3d(color_video, output_dir=None, engine="vda",
                 infill_engine="basic", xfov=None, max_depth=100.0,
                 max_scene_frames=1500, scene_file=None, end_scene=-1,
                 batch_size=8, engine_kwargs=None, stereo_kwargs=None,
-                mask_engine=None, generate_masks=True):
+                mask_engine=None, generate_masks=True,
+                csv_delimiter=",", no_render=False):
     """The full pipeline (reference movie_2_3D.main, :785-830).
     Returns the final movie path. Fully resumable."""
     output_dir = output_dir or (os.path.splitext(color_video)[0] + "_3d")
     os.makedirs(output_dir, exist_ok=True)
     scene_file = scene_mod.ensure_scene_file(color_video, output_dir,
                                              scene_file)
-    scenes = scene_mod.split_scenes(scene_mod.read_scene_csv(scene_file),
-                                    max_scene_frames=max_scene_frames)
+    scenes = scene_mod.split_scenes(
+        scene_mod.read_scene_csv(scene_file, delimiter=csv_delimiter),
+        max_scene_frames=max_scene_frames)
     scenes = plan_scene_files(scenes, output_dir, end_scene)
 
     step1_create_scene_videos(color_video, scenes)
@@ -262,6 +264,9 @@ def movie_to_3d(color_video, output_dir=None, engine="vda",
     if generate_masks:
         step3_generate_masks(scenes, mask_engine=mask_engine)
     step4_find_convergence(scenes, max_depth=max_depth)
+    if no_render:
+        # reference --no_render: stop before rendering and later steps
+        return None
     step5_render_sbs(scenes, xfov=xfov, max_depth=max_depth,
                      batch_size=batch_size, **(stereo_kwargs or {}))
     step6_infill(scenes, infill_engine=infill_engine)

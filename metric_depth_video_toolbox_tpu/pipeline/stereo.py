@@ -359,7 +359,8 @@ def render_stereo_video(depth_video, color_video=None, output=None,
                         touchly_min_depth=0.0,
                         transformation_lock_frame=0,
                         mask_video=None, save_background=False,
-                        load_background=None):
+                        load_background=None,
+                        render_as_pointcloud=False):
     """Stream a depth(+color) video through the device stereo step.
 
     Mirrors the reference CLI semantics (stereo_rerender.py argparse,
@@ -397,6 +398,10 @@ def render_stereo_video(depth_video, color_video=None, output=None,
     # per-frame camera transformations and not VR180's separate render cam
     warp_method = ("sweep" if (transformations is None and not vr180)
                    else "forward")
+    if render_as_pointcloud:
+        # pure point splatting, no intra-cell interpolation (reference
+        # stereo_rerender.py --render_as_pointcloud, :576-609)
+        warp_method = "forward"
     cfg = StereoConfig(
         width=w, height=h, out_width=out_w, out_height=out_h,
         max_depth=max_depth,
@@ -408,6 +413,7 @@ def render_stereo_video(depth_video, color_video=None, output=None,
         touchly1=touchly1, touchly_max_depth=touchly_max_depth,
         touchly_min_depth=touchly_min_depth, vr180=vr180,
         warp_method=warp_method,
+        subsample=1 if render_as_pointcloud else StereoConfig.subsample,
         has_convergence=convergence_depths is not None)
 
     if touchly1:

@@ -21,62 +21,102 @@ from metric_depth_video_toolbox_tpu.utils.host import to_host
 
 def track_video(color_video, output=None, clip_len=120, grid=36,
                 max_frames=-1, engine="lk", reseed_radius=12.0,
-                save_viz=False, rng_seed=0):
+                save_viz=False, rng_seed=0, downscale=1,
+                nr_iterations=1, steps_between_init=None):
     """Track grid points through the whole video in overlapping clips.
 
     Returns the tracking-json path. Track rows are [global_id, x, y] per
-    frame (reference :415-426).
+    frame (reference :415-426). ``downscale`` tracks at reduced
+    resolution and scales coordinates back (reference --downscale);
+    ``nr_iterations`` repeats the whole pass with different grid offsets
+    for denser coverage (--nr_iterations); ``steps_between_init`` is the
+    clip stride, giving staggered overlapping streams with identity
+    reseeding at the overlap (--steps_bewtwen_track_init, reference
+    :323-356).
     """
     frames, fps = vio.read_video_frames(color_video, max_frames=max_frames)
     t_total, h, w = frames.shape[:3]
     rng = np.random.default_rng(rng_seed)
 
+    track_frames = frames
+    if downscale > 1:
+        th, tw = h // downscale, w // downscale
+        import jax
+        track_frames = np.asarray(jax.image.resize(
+            jnp.asarray(frames, jnp.float32), (t_total, th, tw, 3),
+            "bilinear")).astype(np.uint8)
+
+    stride = steps_between_init or (clip_len - 1)
+    stride = max(1, min(stride, clip_len - 1)) if clip_len > 1 else 1
+
     out_frames = [[] for _ in range(t_total)]
     next_gid = 0
-    prev_end_pts = None  # (N, 2) positions at the last frame of prev clip
-    prev_end_ids = None
 
-    start = 0
-    while start < t_total:
-        end = min(start + clip_len, t_total)
-        clip = frames[start:end]
-        pts, ok = trk.generate_grid_queries(clip[0], grid=grid, rng=rng)
+    for _ in range(max(1, nr_iterations)):
+        prev_traj = None   # (T_clip, N, 2) of the previous clip
+        prev_vis = None
+        prev_gids = None
+        prev_start = 0
+        written_until = 0
+        start = 0
+        while start < t_total:
+            end = min(start + clip_len, t_total)
+            clip = track_frames[start:end]
+            pts, ok = trk.generate_grid_queries(clip[0], grid=grid,
+                                                rng=rng)
 
-        # identity reseeding: grid points near a still-alive track from the
-        # previous clip inherit its global id (reference :215-243)
-        gids = -np.ones(pts.shape[0], np.int64)
-        if prev_end_pts is not None and prev_end_pts.shape[0]:
-            d2 = ((pts[:, None, :] - prev_end_pts[None]) ** 2).sum(-1)
-            nearest = d2.argmin(1)
-            near_ok = d2[np.arange(pts.shape[0]), nearest] < reseed_radius**2
-            taken = set()
-            for i in np.argsort(d2[np.arange(pts.shape[0]), nearest]):
-                j = nearest[i]
-                if near_ok[i] and ok[i] > 0 and j not in taken:
-                    gids[i] = prev_end_ids[j]
-                    taken.add(j)
-        fresh = (gids < 0) & (ok > 0)
-        gids[fresh] = np.arange(next_gid, next_gid + fresh.sum())
-        next_gid += int(fresh.sum())
+            # identity reseeding: grid points near a still-alive track
+            # from the previous clip AT THIS CLIP'S START FRAME inherit
+            # its global id (reference :215-243)
+            gids = -np.ones(pts.shape[0], np.int64)
+            if prev_traj is not None:
+                oi = start - prev_start
+                if 0 <= oi < prev_traj.shape[0]:
+                    alive = prev_vis[oi] > 0
+                    ppts = prev_traj[oi, alive]
+                    pids = prev_gids[alive]
+                    if ppts.shape[0]:
+                        d2 = ((pts[:, None, :] - ppts[None]) ** 2).sum(-1)
+                        nearest = d2.argmin(1)
+                        near_ok = d2[np.arange(pts.shape[0]),
+                                     nearest] < reseed_radius ** 2
+                        taken = set()
+                        for i in np.argsort(
+                                d2[np.arange(pts.shape[0]), nearest]):
+                            j = nearest[i]
+                            if near_ok[i] and ok[i] > 0 and j not in taken:
+                                gids[i] = pids[j]
+                                taken.add(j)
+            fresh = (gids < 0) & (ok > 0)
+            gids[fresh] = np.arange(next_gid, next_gid + fresh.sum())
+            next_gid += int(fresh.sum())
 
-        traj, vis = trk.lk_track_clip(jnp.asarray(clip), jnp.asarray(pts),
-                                      jnp.asarray(ok))
-        traj = to_host(traj)
-        vis = to_host(vis)
+            traj, vis = trk.lk_track_clip(jnp.asarray(clip),
+                                          jnp.asarray(pts),
+                                          jnp.asarray(ok))
+            traj = to_host(traj)
+            vis = to_host(vis)
 
-        for fi in range(end - start):
-            alive = (vis[fi] > 0) & (gids >= 0)
-            rows = np.stack([gids[alive].astype(np.float32),
-                             traj[fi, alive, 0], traj[fi, alive, 1]],
-                            axis=-1)
-            out_frames[start + fi] = rows
+            for fi in range(end - start):
+                if start + fi < written_until:
+                    continue  # covered by the previous stream
+                alive = (vis[fi] > 0) & (gids >= 0)
+                rows = np.stack([gids[alive].astype(np.float32),
+                                 traj[fi, alive, 0] * downscale,
+                                 traj[fi, alive, 1] * downscale],
+                                axis=-1)
+                if len(out_frames[start + fi]):
+                    rows = np.concatenate(
+                        [np.asarray(out_frames[start + fi]).reshape(-1, 3),
+                         rows])
+                out_frames[start + fi] = rows
+            written_until = end
 
-        last_alive = (vis[-1] > 0) & (gids >= 0)
-        prev_end_pts = traj[-1, last_alive]
-        prev_end_ids = gids[last_alive]
-        if end == t_total:
-            break
-        start = end - 1  # 1-frame overlap carries identities
+            prev_traj, prev_vis, prev_gids = traj, vis, gids
+            prev_start = start
+            if end == t_total:
+                break
+            start = min(start + stride, t_total - 1)
 
     output = output or (color_video + "_tracking.json")
     sidecar.save_tracking(output, [np.asarray(f, np.float32).reshape(-1, 3)

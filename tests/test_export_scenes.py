@@ -121,3 +121,59 @@ def test_split_scenes_caps_length():
     assert [s["Length (frames)"] for s in out] == ["30", "30", "30", "10"]
     assert all(s["Engine"] == "vda" for s in out)  # extra cols preserved
     assert [s["Scene Number"] for s in out] == ["1", "2", "3", "4"]
+
+
+def test_mask_filter_tracks_and_strict(tmp_path):
+    """Masked observations are invalidated; strict mode kills the whole
+    track (reference convert_...py:659-681)."""
+    t, n, h, w = 3, 2, 16, 16
+    dense = np.zeros((t, n, 3), np.float32)
+    dense[:, :, 2] = 1.0          # all valid
+    dense[:, 0, :2] = [4.0, 4.0]  # track 0 sits in the masked quadrant
+    dense[:, 1, :2] = [12.0, 12.0]
+    masks = np.zeros((t, h, w, 3), np.uint8)
+    masks[1, :8, :8] = 255        # masked only in frame 1
+    mpath = str(tmp_path / "m.mkv")
+    vio.save_rgb_video(masks, mpath, 24)
+
+    out = export_mod._mask_filter_tracks(dense, mpath, strict=False)
+    assert out[1, 0, 2] == 0.0 and out[0, 0, 2] == 1.0
+    assert (out[:, 1, 2] == 1.0).all()
+
+    strict = export_mod._mask_filter_tracks(dense, mpath, strict=True)
+    assert (strict[:, 0, 2] == 0.0).all()
+    assert (strict[:, 1, 2] == 1.0).all()
+
+
+def test_export_lock_frame_and_min_frames(tmp_path, rng):
+    """--transformation_lock_frame re-bases poses; --min_frames skips
+    early frames in every export product."""
+    t, h, w = 4, 16, 24
+    depth = rng.uniform(2, 8, (t, h, w)).astype(np.float32)
+    dpath = str(tmp_path / "d.mkv")
+    vio.save_depth_video(depth, dpath, 24, 20.0)
+    transforms = []
+    for i in range(t):
+        m = np.eye(4, dtype=np.float32)
+        m[0, 3] = 0.1 * i
+        transforms.append(m)
+    tf = str(tmp_path / "t.json")
+    sidecar.save_transformations(tf, transforms)
+
+    out = export_mod.export_video(
+        dpath, transformation_file=tf, xfov=60.0, max_depth=20.0,
+        min_frames=1, lock_frame=2, grayscale=True,
+        save_ply_every=1)
+    # frames 0 and 1 skipped (reference: min_frames >= frame_n skips)
+    assert len(out["ply_frames"]) == t - 2
+    n_gray, _, _, _ = vio.video_info(out["grayscale"])
+    assert n_gray == t - 2
+
+
+def test_render_point_cloud_video(tmp_path, rng):
+    pts = rng.normal(size=(300, 3)).astype(np.float32) + [0, 0, 5]
+    path = str(tmp_path / "turntable.mkv")
+    export_mod.render_point_cloud_video([(pts, None)], path, n_frames=4,
+                                        out_hw=(32, 48))
+    n, w, h, _ = vio.video_info(path)
+    assert n == 4 and (w, h) == (48, 32)

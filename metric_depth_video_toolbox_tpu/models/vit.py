@@ -35,6 +35,11 @@ class ViTConfig:
     layerscale_init: float = 1.0
     out_indices: Sequence[int] = (2, 5, 8, 11)
     dtype: str = "bfloat16"
+    # 'flash' = Pallas TPU flash-attention kernel (scores never touch
+    # HBM; sequence padded to a 512 multiple with segment-id masking);
+    # 'xla' = jax.nn.dot_product_attention. 'flash' silently falls back
+    # to 'xla' off-TPU (tests/CPU) and for tiny head dims.
+    attention_impl: str = "flash"
 
     @property
     def compute_dtype(self):
@@ -59,6 +64,33 @@ VIT_TINY = ViTConfig(embed_dim=64, depth=4, num_heads=4,
 PRESETS["vitt"] = VIT_TINY
 
 
+def _flash_attention(q, k, v):
+    """Pallas TPU flash attention over (B, N, H, HD) bf16 tensors.
+
+    Pads N to a 512 multiple and masks the padding with segment ids so
+    softmax statistics are exact; scores stay in VMEM (the XLA path
+    round-trips the (N, N) bf16 score tensor through HBM, which measures
+    memory-bound at ViT-L token counts on v5e)."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa_mod
+
+    b, n, h, hd = q.shape
+    np_ = ((n + 511) // 512) * 512
+
+    def to_bhnd(t):
+        t = t.transpose(0, 2, 1, 3)
+        return jnp.pad(t, ((0, 0), (0, 0), (0, np_ - n), (0, 0)))
+
+    seg = (jax.lax.broadcasted_iota(jnp.int32, (b, np_), 1) < n)
+    seg = seg.astype(jnp.int32)
+    sids = fa_mod.SegmentIds(q=seg, kv=seg)
+    bs = fa_mod.BlockSizes(
+        block_q=min(1024, np_), block_k_major=512, block_k=512, block_b=1)
+    out = fa_mod.flash_attention(
+        to_bhnd(q), to_bhnd(k), to_bhnd(v), segment_ids=sids,
+        causal=False, sm_scale=1.0 / float(hd) ** 0.5, block_sizes=bs)
+    return out[:, :, :n, :].transpose(0, 2, 1, 3)
+
+
 class Attention(nn.Module):
     cfg: ViTConfig
 
@@ -72,11 +104,18 @@ class Attention(nn.Module):
         def heads(t):
             return t.reshape(t.shape[:-1] + (c.num_heads, d // c.num_heads))
         q, k, v = heads(q), heads(k), heads(v)
-        # fused attention: avoids materializing the (N, N) score matrix in
-        # f32 to HBM (the naive path is memory-bound at ViT-L token counts)
-        out = jax.nn.dot_product_attention(
-            q.astype(c.compute_dtype), k.astype(c.compute_dtype),
-            v.astype(c.compute_dtype))
+        q = q.astype(c.compute_dtype)
+        k = k.astype(c.compute_dtype)
+        v = v.astype(c.compute_dtype)
+        use_flash = (c.attention_impl == "flash"
+                     and jax.default_backend() == "tpu"
+                     and d // c.num_heads >= 64
+                     and c.dtype == "bfloat16")
+        if use_flash:
+            out = _flash_attention(q, k, v)
+        else:
+            # fused XLA attention: still avoids the f32 score tensor
+            out = jax.nn.dot_product_attention(q, k, v)
         out = out.reshape(out.shape[:-2] + (d,))
         return nn.Dense(d, dtype=c.compute_dtype, name="proj")(out)
 

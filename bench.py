@@ -21,7 +21,7 @@ import numpy as np
 H, W = 1080, 1920
 BATCH = 4
 ITERS = 6
-DEPTH_BATCH = 8
+DEPTH_BATCH = 16
 DEPTH_ITERS = 4
 
 

@@ -45,6 +45,7 @@ SUBCOMMANDS = {
     "project": "metric_depth_video_toolbox_tpu.cli.project",
     "inpaint": "metric_depth_video_toolbox_tpu.cli.apply_inpainting",
     "engine": "metric_depth_video_toolbox_tpu.cli.depth_engines",
+    "gui": "metric_depth_video_toolbox_tpu.cli.gui",
 }
 
 

@@ -151,10 +151,16 @@ def run_vda(color_video, max_depth=100.0, max_frames=-1, engine=None,
 class SingleFrameEngine:
     """Per-frame metric depth engines (UniDepth/UniK3D/MoGe/DepthPro-class
     wrappers, reference unidepth_video.py etc.): batched frame inference
-    with optional per-frame FOV estimation emitted as a sidecar."""
+    with optional per-frame FOV estimation emitted as a sidecar.
+
+    With ``data_parallel=True`` (default) and more than one device the
+    frame batch shards over a 1D 'data' mesh (params replicated) — the
+    scene's time axis is the natural DP axis (SURVEY.md §2.5); on one
+    chip the same program runs unchanged."""
 
     def __init__(self, size="vits", input_size=518, params=None,
-                 max_depth=100.0, estimates_fov=False, rng_seed=0):
+                 max_depth=100.0, estimates_fov=False, rng_seed=0,
+                 data_parallel=True):
         self.cfg = da.preset(size, metric=True, max_depth=max_depth)
         self.model = da.DepthAnything(self.cfg)
         self.input_size = input_size
@@ -163,14 +169,28 @@ class SingleFrameEngine:
         self._params = params
         self._rng = jax.random.PRNGKey(rng_seed)
         self._apply = self.model.apply
+        self._mesh = None
+        if data_parallel and jax.device_count() > 1:
+            from metric_depth_video_toolbox_tpu.parallel import mesh as mm
+            self._mesh = mm.frame_mesh()
 
     def infer_video(self, frames_u8, batch=8):
         t, h, w = frames_u8.shape[:3]
         work_hw = da.working_resolution(h, w, self.input_size,
                                         self.cfg.vit.patch_size)
+        if self._mesh is not None:
+            n_dev = self._mesh.devices.size
+            batch = max(batch, n_dev) // n_dev * n_dev
         if self._params is None:
             x = jnp.zeros((batch,) + tuple(work_hw) + (3,))
             self._params = jax.jit(self.model.init)(self._rng, x)
+        put = lambda c: jnp.asarray(c)
+        if self._mesh is not None:
+            from metric_depth_video_toolbox_tpu.parallel import sharding
+            self._params = jax.device_put(self._params,
+                                          sharding.replicated(self._mesh))
+            put = lambda c: jax.device_put(
+                jnp.asarray(c), sharding.batch_sharding(self._mesh))
         outs = []
         for i in range(0, t, batch):
             chunk = frames_u8[i:i + batch]
@@ -179,7 +199,7 @@ class SingleFrameEngine:
                 chunk = np.pad(chunk, ((0, batch - n), (0, 0), (0, 0),
                                        (0, 0)), mode="edge")
             d = robust_call(da.infer_depth, self._apply,
-                            self._params, jnp.asarray(chunk), (h, w),
+                            self._params, put(chunk), (h, w),
                             work_hw)
             outs.append(d[:n])
         return np.concatenate(outs, axis=0)

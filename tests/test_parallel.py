@@ -76,3 +76,24 @@ def test_stereo_batch_shards_over_frames():
                    jnp.asarray(1.0))
         img = np.asarray(out["image"])
     assert img.shape == (8, h, 2 * w, 3)
+
+
+def test_single_frame_engine_data_parallel_matches(rng):
+    """SingleFrameEngine with the frame batch sharded over the 8-device
+    CPU mesh produces the same depths as the unsharded path."""
+    import numpy as np
+
+    from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
+
+    frames = rng.integers(0, 255, (9, 28, 28, 3)).astype(np.uint8)
+    eng_dp = dstage.SingleFrameEngine(size="vitt", max_depth=10.0,
+                                      input_size=28, data_parallel=True)
+    d_dp = eng_dp.infer_video(frames, batch=8)
+    eng_1 = dstage.SingleFrameEngine(size="vitt", max_depth=10.0,
+                                     input_size=28, data_parallel=False,
+                                     params=eng_dp._params)
+    d_1 = eng_1.infer_video(frames, batch=8)
+    assert d_dp.shape == (9, 28, 28)
+    # bf16 compute: cross-device layout changes reduction order
+    assert np.abs(d_dp - d_1).mean() < 5e-3
+    assert np.abs(d_dp - d_1).max() < 5e-2

@@ -11,6 +11,9 @@ def build_parser(parser=None):
     p.add_argument("--color_video", type=str, required=True)
     p.add_argument("--output_dir", type=str)
     p.add_argument("--depth_engine", type=str, default="vda")
+    p.add_argument("--model_size", type=str, default="vits",
+                   choices=["vitt", "vits", "vitb", "vitl", "vitg"])
+    p.add_argument("--input_size", type=int, default=518)
     p.add_argument("--infill_engine", type=str, default="basic",
                    choices=["none", "basic", "diffusion"])
     p.add_argument("--xfov", type=float)
@@ -22,6 +25,9 @@ def build_parser(parser=None):
     p.add_argument("--end_scene", default=-1, type=int)
     p.add_argument("--no_render", action="store_true",
                    help="skip rendering and subsequent steps")
+    p.add_argument("--skip_masks", action="store_true",
+                   help="skip subject-mask generation (convergence then "
+                        "uses the whole frame)")
     p.add_argument("--batch_size", default=8, type=int)
     p.add_argument("--parallel", default=0, type=int,
                    help="host IO worker threads (device work is batched)")
@@ -44,7 +50,10 @@ def run(args):
         max_scene_frames=args.max_scene_frames,
         scene_file=args.scene_file, csv_delimiter=args.csv_delimiter,
         end_scene=args.end_scene, no_render=args.no_render,
-        batch_size=args.batch_size)
+        batch_size=args.batch_size,
+        generate_masks=not args.skip_masks,
+        engine_kwargs={"size": args.model_size,
+                       "input_size": args.input_size})
     if args.no_render:
         print("stopped before rendering (--no_render)")
     else:

@@ -50,13 +50,17 @@ class RSU(nn.Module):
         xin = nn.relu(xin)
         enc = [xin]
         h = xin
+        pools = 0
         for i in range(self.depth):
+            if min(h.shape[1:3]) < 2:
+                break  # can't halve further at this working resolution
             h = nn.max_pool(h, (2, 2), strides=(2, 2))
             h = nn.relu(nn.Conv(self.width, (3, 3), dtype=self.dtype,
                                 name=f"enc{i}")(h))
             enc.append(h)
-        for i in range(self.depth):
-            skip = enc[self.depth - 1 - i]
+            pools += 1
+        for i in range(pools):
+            skip = enc[pools - 1 - i]
             h = _resize_to(h, skip.shape[1:3])
             h = jnp.concatenate([h, skip], axis=-1)
             h = nn.relu(nn.Conv(self.width, (3, 3), dtype=self.dtype,
@@ -79,7 +83,8 @@ class U2Net(nn.Module):
         for i, wdt in enumerate(c.widths):
             h = RSU(wdt, c.rsu_depth, dt, name=f"enc_rsu{i}")(h)
             enc.append(h)
-            h = nn.max_pool(h, (2, 2), strides=(2, 2))
+            if min(h.shape[1:3]) >= 2:
+                h = nn.max_pool(h, (2, 2), strides=(2, 2))
         h = RSU(c.widths[-1], c.rsu_depth, dt, name="bridge")(h)
         side_outputs = []
         for i in range(len(c.widths) - 1, -1, -1):

@@ -83,8 +83,11 @@ def _flash_attention(q, k, v):
     seg = (jax.lax.broadcasted_iota(jnp.int32, (b, np_), 1) < n)
     seg = seg.astype(jnp.int32)
     sids = fa_mod.SegmentIds(q=seg, kv=seg)
+    # one q block per (batch, head) measures fastest at ViT-L token
+    # counts (34.6 vs 31.4 fps full-model with 1024); kv stays blocked
+    # at 512 (block_k_major must divide the padded length)
     bs = fa_mod.BlockSizes(
-        block_q=min(1024, np_), block_k_major=512, block_k=512, block_b=1)
+        block_q=min(4096, np_), block_k_major=512, block_k=512, block_b=1)
     out = fa_mod.flash_attention(
         to_bhnd(q), to_bhnd(k), to_bhnd(v), segment_ids=sids,
         causal=False, sm_scale=1.0 / float(hd) ** 0.5, block_sizes=bs)

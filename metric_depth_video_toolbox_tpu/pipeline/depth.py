@@ -253,8 +253,15 @@ class DA3PipelineEngine:
     """DA3-class engine wrapper: depth + transformations + xfovs sidecars
     (reference video_da3.py:243-263)."""
 
-    def __init__(self, max_depth=100.0, **kw):
+    def __init__(self, max_depth=100.0, size=None, input_size=None, **kw):
         from metric_depth_video_toolbox_tpu.models import da3 as da3_mod
+        # generic engine kwargs (movie step2 passes them to every
+        # engine): size maps onto the DA3 config preset, input_size onto
+        # the working resolution
+        if size in ("vitt", "tiny"):
+            kw.setdefault("cfg", da3_mod.DA3_TINY)
+        if input_size is not None:
+            kw.setdefault("resolution", input_size)
         self.engine = da3_mod.DA3Engine(**kw)
         self.max_depth = max_depth
 
@@ -277,7 +284,9 @@ class DepthCrafterEngine:
     re-metricized against a required reference depth video (:200-227)."""
 
     def __init__(self, cfg=None, params=None, window=110, overlap=25,
-                 work_hw=(256, 256), rng_seed=0, max_depth=100.0):
+                 work_hw=(256, 256), rng_seed=0, max_depth=100.0, **_):
+        # **_ tolerates the generic engine kwargs the movie orchestrator
+        # passes to every engine type (size/input_size)
         from metric_depth_video_toolbox_tpu.models import diffusion as dif
         self.dif = dif
         self.cfg = cfg or dif.DIFFUSION_TINY

@@ -231,12 +231,22 @@ def step7_concat(scenes, color_video, output=None, compressed=False):
     writer.commit(total)
 
     if shutil.which("ffmpeg"):
+        # mux source audio + tag SBS stereo mode (reference
+        # movie_2_3D.py:752-762); AAC re-encode fallback when stream
+        # copy fails (:765-778)
         muxed = output + ".audio.mkv"
-        r = subprocess.run(
-            ["ffmpeg", "-y", "-i", output, "-i", color_video, "-map",
-             "0:v", "-map", "1:a?", "-c", "copy", muxed],
-            capture_output=True)
-        if r.returncode == 0 and os.path.getsize(muxed) > 0:
+        base = ["ffmpeg", "-y", "-i", output, "-i", color_video,
+                "-map", "0:v", "-map", "1:a?",
+                "-metadata:s:v", "stereo_mode=left_right"]
+        r = subprocess.run(base + ["-c", "copy", muxed],
+                           capture_output=True)
+        if not (r.returncode == 0 and os.path.exists(muxed)
+                and os.path.getsize(muxed) > 0):
+            r = subprocess.run(
+                base + ["-c:v", "copy", "-c:a", "aac", muxed],
+                capture_output=True)
+        if r.returncode == 0 and os.path.exists(muxed) \
+                and os.path.getsize(muxed) > 0:
             os.replace(muxed, output)
     return output
 

@@ -125,7 +125,7 @@ def bench_reference_equivalent_numpy(n_frames=3):
 
 def main():
     stereo_fps = bench_stereo()
-    depth_fps = bench_depth_inference("vitl", batch=4)
+    depth_fps = bench_depth_inference("vitl")  # DEPTH_BATCH
     combined = 1.0 / (1.0 / stereo_fps + 1.0 / depth_fps)
     ref_fps = bench_reference_equivalent_numpy(n_frames=5)
     # reference pipeline also needs depth inference; its stereo path alone

@@ -105,16 +105,29 @@ def stitch_windows(window_disps, window, overlap, total):
 
 
 def infer_video_depth(apply_fn, params, frames_u8, work_hw, out_hw,
-                      window=32, overlap=8, batch_hook=None):
+                      window=32, overlap=8, batch_hook=None, mesh=None):
     """Sliding-window video depth over an arbitrary-length clip.
 
     frames_u8: (T, H, W, 3) uint8. Returns (T, out_h, out_w) float32
     relative disparity, temporally stitched.
+
+    With ``mesh`` (a 1D 'data' Mesh) the window's time axis shards over
+    devices: per-frame ViT work is pure DP, and the temporal attention
+    becomes the only cross-device op — XLA inserts the collectives over
+    the time axis (the sequence-parallel layout SURVEY.md §5 describes
+    for the reference's windowed long-video mechanism).
     """
     t_total = frames_u8.shape[0]
     # overlap >= window would make the slide step 0 -> infinite dispatch
     overlap = min(overlap, window - 1)
     step = max(window - overlap, 1)
+
+    put = jnp.asarray
+    if mesh is not None:
+        from metric_depth_video_toolbox_tpu.parallel import sharding
+        params = jax.device_put(params, sharding.replicated(mesh))
+        put = lambda w: jax.device_put(jnp.asarray(w),
+                                       sharding.batch_sharding(mesh))
 
     # params must be an ARGUMENT, not a closure capture: closed-over device
     # arrays are lowered as MLIR constants (a full device->host copy of
@@ -133,7 +146,7 @@ def infer_video_depth(apply_fn, params, frames_u8, work_hw, out_hw,
         idx = np.arange(start, start + window)
         idx = np.clip(idx, 0, t_total - 1)  # pad tail by repeating
         win = frames_u8[idx]
-        d = robust_call(run_window, params, jnp.asarray(win))
+        d = robust_call(run_window, params, put(win))
         if batch_hook is not None:
             batch_hook(start, d)
         n_new = min(window, t_total - start)

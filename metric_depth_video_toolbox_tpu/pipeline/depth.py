@@ -63,7 +63,8 @@ class VDAEngine:
 
     def __init__(self, size="vits", input_size=518, window=None,
                  overlap=None, params=None, anchor_params=None, rng_seed=0,
-                 metric_anchor_frames=32, max_depth=100.0, fp32=False):
+                 metric_anchor_frames=32, max_depth=100.0, fp32=False,
+                 data_parallel=True):
         import dataclasses
 
         import metric_depth_video_toolbox_tpu.models.dpt as dpt_mod
@@ -91,6 +92,15 @@ class VDAEngine:
         # stable fn identities so jitted wrappers don't retrace per call
         self._apply = self.model.apply
         self._anchor_apply = self.anchor.apply
+        self._mesh = None
+        if data_parallel and jax.device_count() > 1:
+            from metric_depth_video_toolbox_tpu.parallel import mesh as mm
+            # shard the window's time axis; window must divide evenly
+            n = jax.device_count()
+            while self.cfg.window % n:
+                n -= 1
+            if n > 1:
+                self._mesh = mm.frame_mesh(n)
 
     def _ensure_params(self, work_hw):
         if self._params is None:
@@ -109,7 +119,7 @@ class VDAEngine:
         disp = vd.infer_video_depth(
             self._apply, self._params, frames_u8,
             work_hw, (h, w), window=self.cfg.window,
-            overlap=self.cfg.overlap)
+            overlap=self.cfg.overlap, mesh=self._mesh)
 
         # metric anchor on the first N frames (reference :105-125)
         n_anchor = min(self.metric_anchor_frames, t)

@@ -97,3 +97,27 @@ def test_single_frame_engine_data_parallel_matches(rng):
     # bf16 compute: cross-device layout changes reduction order
     assert np.abs(d_dp - d_1).mean() < 5e-3
     assert np.abs(d_dp - d_1).max() < 5e-2
+
+
+def test_vda_window_shards_over_time_axis(rng):
+    """VideoDepthAnything window sharded over the 8-device CPU mesh
+    (sequence-parallel: per-frame ViT is DP, temporal attention crosses
+    devices) matches the unsharded result."""
+    import numpy as np
+
+    from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
+
+    frames = rng.integers(0, 255, (10, 28, 28, 3)).astype(np.uint8)
+    eng_dp = dstage.VDAEngine(size="vitt", input_size=28, window=8,
+                              overlap=2, max_depth=10.0,
+                              metric_anchor_frames=4, data_parallel=True)
+    assert eng_dp._mesh is not None  # 8 devices divide window 8
+    d_dp = eng_dp.infer_video(frames)
+    eng_1 = dstage.VDAEngine(size="vitt", input_size=28, window=8,
+                             overlap=2, max_depth=10.0,
+                             metric_anchor_frames=4, data_parallel=False,
+                             params=eng_dp._params,
+                             anchor_params=eng_dp._anchor_params)
+    d_1 = eng_1.infer_video(frames)
+    assert d_dp.shape == (10, 28, 28)
+    assert np.abs(d_dp - d_1).mean() < 1e-2

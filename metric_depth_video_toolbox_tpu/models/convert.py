@@ -59,6 +59,14 @@ def conv(sd, prefix):
     return out
 
 
+def conv_transpose(sd, prefix):
+    w = _t(sd[prefix + ".weight"])  # torch: (in, out, kh, kw)
+    out = {"kernel": w.transpose(2, 3, 0, 1)}
+    if prefix + ".bias" in sd:
+        out["bias"] = _t(sd[prefix + ".bias"])
+    return out
+
+
 def layernorm(sd, prefix):
     return {"scale": _t(sd[prefix + ".weight"]),
             "bias": _t(sd[prefix + ".bias"])}
@@ -93,6 +101,60 @@ def convert_dinov2_vit(state_dict, cfg):
     return p
 
 
+def convert_dpt_head(state_dict, cfg):
+    """torch DA-V2 ``depth_head`` state dict -> our models.dpt.DPTHead
+    params. Requires DPTConfig(torch_resize=True, fast_head=False) so
+    the op graph is weight-exact (learned resize layers + original head
+    conv order).
+
+    Torch layout: depth_head.projects.N, depth_head.resize_layers.N,
+    depth_head.scratch.layerN_rn, depth_head.scratch.refinenetN
+    (.resConfUnit{1,2}.conv{1,2}, .out_conv), scratch.output_conv1,
+    scratch.output_conv2.{0,2}.
+    """
+    sd = {k.replace("depth_head.", ""): v for k, v in state_dict.items()
+          if k.startswith("depth_head.")} or dict(state_dict)
+    p = {}
+    for i in range(4):
+        p[f"project{i}"] = conv(sd, f"projects.{i}")
+        p[f"scratch{i}"] = {
+            "kernel": _t(sd[f"scratch.layer{i + 1}_rn.weight"]
+                         ).transpose(2, 3, 1, 0)}
+    p["resize0"] = conv_transpose(sd, "resize_layers.0")
+    p["resize1"] = conv_transpose(sd, "resize_layers.1")
+    p["resize3"] = conv(sd, "resize_layers.3")
+
+    def rcu(prefix):
+        return {"conv1": conv(sd, prefix + ".conv1"),
+                "conv2": conv(sd, prefix + ".conv2")}
+
+    # torch refinenet4 fuses the COARSEST level (our fusion3) down to
+    # refinenet1 = finest (our fusion0); refinenet4 has no resConfUnit1
+    # skip in DA-V2 (single input), matching our fusion3 call.
+    for ours, theirs in (("fusion3", 4), ("fusion2", 3), ("fusion1", 2),
+                         ("fusion0", 1)):
+        rn = f"scratch.refinenet{theirs}"
+        blk = {"rcu2": rcu(rn + ".resConfUnit2"),
+               "project": conv(sd, rn + ".out_conv")}
+        if f"{rn}.resConfUnit1.conv1.weight" in sd and ours != "fusion3":
+            blk["rcu1"] = rcu(rn + ".resConfUnit1")
+        p[ours] = blk
+    p["head_conv1"] = conv(sd, "scratch.output_conv1")
+    p["head_conv2"] = conv(sd, "scratch.output_conv2.0")
+    p["head_conv3"] = conv(sd, "scratch.output_conv2.2")
+    return p
+
+
+def convert_da2(state_dict, vit_cfg):
+    """Full Depth-Anything-V2 checkpoint -> our DepthAnything params
+    ({'params': {'backbone': ..., 'head': ...}}). Use with
+    DPTConfig(torch_resize=True, fast_head=False)."""
+    return {"params": {
+        "backbone": convert_dinov2_vit(state_dict, vit_cfg),
+        "head": convert_dpt_head(state_dict, vit_cfg),
+    }}
+
+
 def convert_torch_file(path, kind, cfg=None):
     """Load a torch checkpoint file (CPU) and convert by ``kind``."""
     import torch
@@ -102,6 +164,8 @@ def convert_torch_file(path, kind, cfg=None):
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
     if kind == "dinov2":
         return convert_dinov2_vit(sd, cfg)
+    if kind == "da2":
+        return convert_da2(sd, cfg)
     raise ValueError(f"unknown checkpoint kind: {kind}")
 
 

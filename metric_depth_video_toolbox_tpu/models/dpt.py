@@ -28,6 +28,11 @@ class DPTConfig:
     # inputs). Disable when loading converted torch checkpoints to match
     # the original op order exactly.
     fast_head: bool = True
+    # torch_resize: use the original DPT learned resize layers
+    # (ConvTranspose x4/x2, identity, strided conv x0.5) instead of
+    # bilinear resize, so torch DA-V2 checkpoints convert weight-exact
+    # (reference depth head layout). Default off: bilinear fuses better.
+    torch_resize: bool = False
 
     @property
     def compute_dtype(self):
@@ -88,8 +93,23 @@ class DPTHead(nn.Module):
         for i, (f, ch) in enumerate(zip(feats, c.out_channels)):
             y = nn.Conv(ch, (1, 1), dtype=c.compute_dtype,
                         name=f"project{i}")(f)
-            hw = (int(gh * scales[i]), int(gw * scales[i]))
-            y = _resize(y, hw)
+            if c.torch_resize:
+                # DA-V2 resize_layers: ConvTranspose(4,4)/(2,2)/identity/
+                # Conv(3,s2,p1) — weight-exact conversion target
+                if i == 0:
+                    y = nn.ConvTranspose(ch, (4, 4), strides=(4, 4),
+                                         dtype=c.compute_dtype,
+                                         name="resize0")(y)
+                elif i == 1:
+                    y = nn.ConvTranspose(ch, (2, 2), strides=(2, 2),
+                                         dtype=c.compute_dtype,
+                                         name="resize1")(y)
+                elif i == 3:
+                    y = nn.Conv(ch, (3, 3), strides=(2, 2),
+                                dtype=c.compute_dtype, name="resize3")(y)
+            else:
+                hw = (int(gh * scales[i]), int(gw * scales[i]))
+                y = _resize(y, hw)
             y = nn.Conv(c.features, (3, 3), dtype=c.compute_dtype,
                         use_bias=False, name=f"scratch{i}")(y)
             pyr.append(y)

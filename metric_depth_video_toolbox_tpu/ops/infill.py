@@ -129,13 +129,17 @@ def normal_march_infill(color, hole_mask, normal_map, max_steps=400,
     return out.reshape(color.shape)
 
 
-@partial(jax.jit, static_argnames=("max_steps",))
-def mark_lower_side(normals_rgb_u8, max_steps=30):
+@partial(jax.jit, static_argnames=("max_steps", "max_marks"))
+def mark_lower_side(normals_rgb_u8, max_steps=30, max_marks=1 << 16):
     """From an infill-mask frame (normals encoded as RGB uint8, 0 = no
     data), march along each encoded normal until leaving the marked
     region, and mark the last in-region pixel blue (0,0,255) — flagging the
     *background* side of every disocclusion edge (reference
     infill_common.py:4-49). Returns an RGB uint8 image.
+
+    Same compact-worklist shape as :func:`normal_march_infill`: only the
+    marked pixels march (a static argsort-compacted list), with
+    while_loop early exit.
     """
     h, w = normals_rgb_u8.shape[:2]
     orig = normals_rgb_u8
@@ -145,33 +149,48 @@ def mark_lower_side(normals_rgb_u8, max_steps=30):
     good = valid & (norms[..., 0] > 1e-6)
     dirs = dirs / jnp.maximum(norms, 1e-6)
 
-    x0 = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    y0 = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    k = min(max_marks, h * w)
+    slots = jnp.argsort(~good.reshape(-1))[:k]
+    slot_ok = good.reshape(-1)[slots]
+    px = (slots % w).astype(jnp.float32)
+    py = (slots // w).astype(jnp.float32)
+    d = dirs.reshape(-1, 2)[slots]
+    valid_flat = valid.reshape(-1)
 
-    def body(t, carry):
-        alive, res_x, res_y, found = carry
+    def sample(t):
+        xi = jnp.round(px + d[:, 0] * t).astype(jnp.int32)
+        yi = jnp.round(py + d[:, 1] * t).astype(jnp.int32)
+        inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        flat = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        return xi, yi, jnp.where(inb, valid_flat[flat], False), inb
+
+    def cond(carry):
+        t, alive = carry[0], carry[1]
+        return (t < max_steps) & jnp.any(alive)
+
+    def body(carry):
+        t, alive, res_x, res_y, found = carry
         tf = t.astype(jnp.float32)
-        xi = jnp.round(x0 + dirs[..., 0] * tf).astype(jnp.int32)
-        yi = jnp.round(y0 + dirs[..., 1] * tf).astype(jnp.int32)
-        vhere, inb = _gather_hw(valid, yi, xi, fill=False)
+        xi, yi, vhere, inb = sample(tf)
         bg_hit = alive & inb & ~vhere
         # record the previous step's position (still inside the region)
-        xb = jnp.round(x0 + dirs[..., 0] * (tf - 1.0)).astype(jnp.int32)
-        yb = jnp.round(y0 + dirs[..., 1] * (tf - 1.0)).astype(jnp.int32)
+        xb = jnp.round(px + d[:, 0] * (tf - 1.0)).astype(jnp.int32)
+        yb = jnp.round(py + d[:, 1] * (tf - 1.0)).astype(jnp.int32)
         res_x = jnp.where(bg_hit, xb, res_x)
         res_y = jnp.where(bg_hit, yb, res_y)
         found = found | bg_hit
         alive = alive & inb & ~bg_hit
-        return alive, res_x, res_y, found
+        return t + 1, alive, res_x, res_y, found
 
-    zero_i = jnp.zeros((h, w), jnp.int32)
-    _, res_x, res_y, found = jax.lax.fori_loop(
-        1, max_steps, body, (good, zero_i, zero_i, jnp.zeros((h, w), bool)))
+    zero_i = jnp.zeros((k,), jnp.int32)
+    _, _, res_x, res_y, found = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(1), slot_ok, zero_i, zero_i, jnp.zeros((k,), bool)))
 
+    found = found & slot_ok
     out = jnp.zeros((h * w + 1, 3), jnp.uint8)
     flat = jnp.where(found, res_y * w + res_x, h * w)
-    out = out.at[flat.reshape(-1)].set(
-        jnp.array([0, 0, 255], jnp.uint8), mode="drop")
+    out = out.at[flat].set(jnp.array([0, 0, 255], jnp.uint8), mode="drop")
     return out[:-1].reshape(h, w, 3)
 
 

@@ -46,6 +46,9 @@ def build_parser(parser=None):
                    help="foreground mask; switches to background-"
                         "accumulation rendering")
     p.add_argument("--save_background", action="store_true")
+    p.add_argument("--profile", type=str, metavar="DIR",
+                   help="capture a jax.profiler trace of the run into "
+                        "DIR (view with TensorBoard/xprof)")
     p.add_argument("--load_background", type=str)
     return p
 
@@ -77,26 +80,28 @@ def run(args):
     if args.dont_remove_edges:
         remove_edges = False
 
-    out = stereo.render_stereo_video(
-        args.depth_video, color_video=args.color_video, xfov=args.xfov,
-        yfov=args.yfov, xfovs=xfovs, transformations=transformations,
-        convergence_depths=convergence, master_xfov=args.master_xfov,
-        max_depth=args.max_depth,
-        pupillary_distance_mm=args.pupillary_distance,
-        max_frames=args.max_frames, batch_size=args.batch_size,
-        infill_mask=args.infill_mask, vr180=args.vr180,
-        touchly0=args.touchly0, touchly1=args.touchly1,
-        remove_edges=remove_edges,
-        do_basic_infill=args.do_basic_infill,
-        place_edge_points=not args.dont_place_points_in_edges,
-        green_and_black_infill_mask=args.green_and_black_infill_mask,
-        create_sbs_depth=args.create_sbs_depth_video,
-        touchly_max_depth=args.touchly_max_depth,
-        touchly_min_depth=args.touchly_min_depth,
-        transformation_lock_frame=args.transformation_lock_frame,
-        mask_video=args.mask_video, save_background=args.save_background,
-        load_background=args.load_background,
-        render_as_pointcloud=args.render_as_pointcloud)
+    from metric_depth_video_toolbox_tpu.utils.timer import device_trace
+    with device_trace(args.profile):
+        out = stereo.render_stereo_video(
+            args.depth_video, color_video=args.color_video, xfov=args.xfov,
+            yfov=args.yfov, xfovs=xfovs, transformations=transformations,
+            convergence_depths=convergence, master_xfov=args.master_xfov,
+            max_depth=args.max_depth,
+            pupillary_distance_mm=args.pupillary_distance,
+            max_frames=args.max_frames, batch_size=args.batch_size,
+            infill_mask=args.infill_mask, vr180=args.vr180,
+            touchly0=args.touchly0, touchly1=args.touchly1,
+            remove_edges=remove_edges,
+            do_basic_infill=args.do_basic_infill,
+            place_edge_points=not args.dont_place_points_in_edges,
+            green_and_black_infill_mask=args.green_and_black_infill_mask,
+            create_sbs_depth=args.create_sbs_depth_video,
+            touchly_max_depth=args.touchly_max_depth,
+            touchly_min_depth=args.touchly_min_depth,
+            transformation_lock_frame=args.transformation_lock_frame,
+            mask_video=args.mask_video, save_background=args.save_background,
+            load_background=args.load_background,
+            render_as_pointcloud=args.render_as_pointcloud)
     print(f"Processing complete. Output saved to: {out}")
     return out
 

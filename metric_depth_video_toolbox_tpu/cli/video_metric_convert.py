@@ -32,6 +32,8 @@ def build_parser(parser=None):
     p.add_argument("--window", type=int, default=None)
     p.add_argument("--checkpoint", type=str,
                    help="converted Flax checkpoint (models.convert)")
+    p.add_argument("--profile", type=str, metavar="DIR",
+                   help="capture a jax.profiler trace into DIR")
     return p
 
 
@@ -42,12 +44,14 @@ def run(args):
     if args.checkpoint:
         from metric_depth_video_toolbox_tpu.models import convert
         params = convert.load_checkpoint(args.checkpoint)
-    outs = dstage.run_batch(
-        "vda", args.color_video, max_depth=args.max_depth,
-        max_frames=args.max_frames, target_fps=args.target_fps,
-        input_size=args.input_size,
-        size=args.model_size, window=args.window, params=params,
-        fp32=args.fp32, reference_depth_video=args.depth_video)
+    from metric_depth_video_toolbox_tpu.utils.timer import device_trace
+    with device_trace(args.profile):
+        outs = dstage.run_batch(
+            "vda", args.color_video, max_depth=args.max_depth,
+            max_frames=args.max_frames, target_fps=args.target_fps,
+            input_size=args.input_size,
+            size=args.model_size, window=args.window, params=params,
+            fp32=args.fp32, reference_depth_video=args.depth_video)
     for o in outs:
         print(f"depth video saved: {o}")
     return outs

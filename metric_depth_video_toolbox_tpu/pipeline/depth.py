@@ -393,7 +393,7 @@ class MVSEngine:
 
     def __init__(self, size="base", max_depth=100.0, window=7,
                  resize_w=1024, params=None, batch=4, rng_seed=0,
-                 rescale_to_cost_volume=False, **_):
+                 rescale_to_cost_volume=False, data_parallel=True, **_):
         from metric_depth_video_toolbox_tpu.models import mvs as mvs_mod
         self.mvs_mod = mvs_mod
         self.cfg = mvs_mod.preset(size, max_depth=max_depth)
@@ -406,6 +406,12 @@ class MVSEngine:
         self._params = params
         self._rng = jax.random.PRNGKey(rng_seed)
         self._jit = None
+        self._mesh = None
+        if data_parallel and jax.device_count() > 1:
+            from metric_depth_video_toolbox_tpu.parallel import mesh as mm
+            n = jax.device_count()
+            self.batch = max(self.batch, n) // n * n
+            self._mesh = mm.frame_mesh(n)
 
     def _window_indices(self, i, n):
         """Source indices around frame i, padded to 2*half_w with i
@@ -466,12 +472,19 @@ class MVSEngine:
                 srcs.append(small[idx])
                 poses.append(np.stack([w2c[j] @ c2w[i] for j in idx]))
                 valids.append(val)
+            put = jnp.asarray
+            if self._mesh is not None:
+                from metric_depth_video_toolbox_tpu.parallel import \
+                    sharding
+                put = lambda a: jax.device_put(
+                    jnp.asarray(a), sharding.batch_sharding(
+                        self._mesh, np.asarray(a).ndim))
             out = robust_call(
                 self._jit, self._params,
-                jnp.asarray(np.stack(refs)) / 255.0,
-                jnp.asarray(np.stack(srcs)) / 255.0,
-                jnp.asarray(np.stack(poses)),
-                jnp.asarray(np.stack(valids)))
+                put(np.stack(refs).astype(np.float32) / 255.0),
+                put(np.stack(srcs).astype(np.float32) / 255.0),
+                put(np.stack(poses)),
+                put(np.stack(valids)))
             d = out["depth"]
             if self.rescale:
                 s = jax.vmap(lambda cv, dd, m: solvers.median_ratio_scale(

@@ -502,3 +502,46 @@ def stereo_sweep_warp(depth, color, k, transform, num_planes=128,
     return WarpResult(color=out_color,
                       depth=jnp.where(found, best_z, INF_DEPTH),
                       mask=found, edge_mask=edge & valid_src)
+
+
+def warp_pixel_ids(depth, k_src, k_dst, transform, out_hw,
+                   subsample=1, remove_edges=False, of_by_one=True):
+    """Forward-warp carrying each source pixel's flat id as the payload.
+
+    The TPU equivalent of the reference GL path's R32I pixel-id
+    attachment (depth_map_tools.py:660-865): render passes emit id maps
+    that :func:`remap_ids_to_img` later chases back to source data.
+    Returns (ids (Ht, Wt) int32, -1 where nothing landed; depth buffer).
+    """
+    h, w = depth.shape
+    ids = jnp.arange(h * w, dtype=jnp.float32).reshape(h, w, 1)
+    res = forward_warp(depth, ids, k_src, k_dst, transform, out_hw,
+                       subsample=subsample, remove_edges=remove_edges,
+                       of_by_one=of_by_one)
+    out = jnp.round(res.color[..., 0]).astype(jnp.int32)
+    return jnp.where(res.mask, out, -1), res.depth
+
+
+def remap_ids_to_img(rgb_image, id_maps, invalid_color=(0, 0, 0)):
+    """Chase pixel ids through a chain of render passes back to the
+    source colors (reference depth_map_tools.py:487-539):
+    idsN -> ids(N-1) -> ... -> ids1 -> rgb_image. Pure jnp gathers.
+
+    id_maps: list of (Hi, Wi) int32 id images, -1/-out-of-range invalid.
+    """
+    final_shape = id_maps[-1].shape
+    current = id_maps[-1].reshape(-1)
+    valid = jnp.ones(current.shape, bool)
+    for stage in reversed(range(len(id_maps) - 1)):
+        ids = id_maps[stage].reshape(-1)
+        ok = (current >= 0) & (current < ids.size)
+        valid = valid & ok
+        current = jnp.where(ok, ids[jnp.clip(current, 0, ids.size - 1)],
+                            -1)
+    h0, w0 = rgb_image.shape[:2]
+    ok = valid & (current >= 0) & (current < h0 * w0)
+    src = rgb_image.reshape(-1, rgb_image.shape[-1])[
+        jnp.clip(current, 0, h0 * w0 - 1)]
+    inv = jnp.asarray(invalid_color, rgb_image.dtype)
+    out = jnp.where(ok[:, None], src, inv)
+    return out.reshape(final_shape + (rgb_image.shape[-1],))

@@ -155,3 +155,34 @@ def test_plane_sweep_reveals_holes():
     assert not mask.all()
     hole_cols = np.where(~mask[h // 2])[0]
     assert hole_cols.size > 0 and (hole_cols >= 20).any()
+
+
+def test_pixel_id_warp_and_remap():
+    """warp_pixel_ids + remap_ids_to_img: an identity warp's ids map every
+    output pixel back to its own source color; a chained remap follows
+    two passes (reference depth_map_tools.py:487-539 semantics)."""
+    h, w = 12, 16
+    k = geo.camera_matrix_from_fov(w, h, xfov_deg=60.0)
+    depth = jnp.full((h, w), 5.0)
+    rgb = jnp.arange(h * w * 3, dtype=jnp.uint8).reshape(h, w, 3)
+
+    ids, dep = rasterize.warp_pixel_ids(depth, k, k, jnp.eye(4), (h, w),
+                                        of_by_one=False)
+    ids_np = np.asarray(ids)
+    assert (ids_np >= 0).mean() > 0.95  # identity warp: all land
+
+    out = np.asarray(rasterize.remap_ids_to_img(rgb, [ids]))
+    land = ids_np >= 0
+    assert (out[land] == np.asarray(rgb)[land]).all()
+
+    # two-pass chain: second pass ids index into the first pass's image
+    ids2, _ = rasterize.warp_pixel_ids(depth, k, k, jnp.eye(4), (h, w),
+                                       of_by_one=False)
+    out2 = np.asarray(rasterize.remap_ids_to_img(rgb, [ids, ids2]))
+    assert (out2[land] == np.asarray(rgb)[land]).all()
+
+    # invalid ids produce the invalid color
+    bad = jnp.full((h, w), -1, jnp.int32)
+    out3 = np.asarray(rasterize.remap_ids_to_img(rgb, [bad],
+                                                 invalid_color=(9, 9, 9)))
+    assert (out3 == 9).all()

@@ -19,7 +19,17 @@ def build_parser(parser=None):
                    help="original mono video (extra conditioning for "
                         "diffusion engines)")
     p.add_argument("--infill_engine", type=str, default="basic",
-                   choices=["basic", "diffusion"])
+                   choices=["basic", "diffusion", "stereocrafter",
+                            "m2svid", "inspatio_world", "external"],
+                   help="'diffusion' = stereocrafter preset; named "
+                        "presets set the reference engines' chunking/"
+                        "working shapes; 'external' runs "
+                        "--external_command")
+    p.add_argument("--external_command", type=str, nargs="+",
+                   help="external infill engine command (the "
+                        "stereo_dissoclusion_net hook)")
+    p.add_argument("--checkpoint", type=str,
+                   help="converted denoiser checkpoint")
     p.add_argument("--max_frames", default=-1, type=int)
     p.add_argument("--batch_size", default=4, type=int)
     return p
@@ -29,14 +39,56 @@ def run(args):
     from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
     from metric_depth_video_toolbox_tpu.pipeline import infill_video
 
+    params = None
+    if args.checkpoint:
+        from metric_depth_video_toolbox_tpu.models import convert
+        params = convert.load_checkpoint(args.checkpoint)
+
+    clips = dstage.expand_batch(args.sbs_color_video)
     outs = []
-    for v in dstage.expand_batch(args.sbs_color_video):
+    shared_engine = None
+    for v in clips:
         mask = args.sbs_mask_video or (v + "_infillmask.mkv")
-        outs.append(infill_video.infill_sbs_video(
-            v, mask, engine=args.infill_engine,
-            color_video=args.color_video, max_frames=args.max_frames,
-            batch_size=args.batch_size))
-        print(f"infilled video saved: {outs[-1]}")
+        try:
+            if args.infill_engine == "external":
+                if not args.external_command:
+                    raise SystemExit("--external_command required with "
+                                     "--infill_engine external")
+                from metric_depth_video_toolbox_tpu.pipeline import \
+                    infill_diffusion
+                out = infill_diffusion.infill_sbs_video_external(
+                    v, mask, args.external_command,
+                    color_video=args.color_video)
+            elif args.infill_engine in ("diffusion", "stereocrafter",
+                                        "m2svid", "inspatio_world"):
+                from metric_depth_video_toolbox_tpu.pipeline import \
+                    infill_diffusion
+                preset = ("stereocrafter"
+                          if args.infill_engine == "diffusion"
+                          else args.infill_engine)
+                if shared_engine is None:  # model loads once per batch
+                    shared_engine = infill_diffusion.make_engine(
+                        preset, params=params)
+                eng, drv = shared_engine
+                out = infill_diffusion.infill_sbs_video_diffusion(
+                    v, mask, engine=eng, color_video=args.color_video,
+                    max_frames=args.max_frames,
+                    **{k: w for k, w in drv.items()
+                       if k in ("mirror_left", "drift_correct")})
+            else:
+                out = infill_video.infill_sbs_video(
+                    v, mask, engine=args.infill_engine,
+                    color_video=args.color_video,
+                    max_frames=args.max_frames,
+                    batch_size=args.batch_size)
+            outs.append(out)
+            print(f"infilled video saved: {out}")
+        except Exception as e:
+            # batch mode keeps going after a per-clip failure
+            # (reference stereo_crafter_infill.py:349-354)
+            if len(clips) == 1:
+                raise
+            print(f"infill FAILED for {v}: {e}; continuing")
     return outs
 
 

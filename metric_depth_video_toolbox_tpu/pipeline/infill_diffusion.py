@@ -126,8 +126,9 @@ def infill_sbs_video_diffusion(sbs_video, infill_mask_video, output=None,
             cm = m[idx].copy()
             if context is not None:
                 n_ctx = min(eng.overlap // 2, context.shape[0])
-                cf[:n_ctx] = context[-n_ctx:]
-                cm[:n_ctx] = False  # already infilled, feed as context
+                if n_ctx > 0:  # overlap < 2 carries no context frames
+                    cf[:n_ctx] = context[-n_ctx:]
+                    cm[:n_ctx] = False  # already infilled, as context
             filled = eng.infill_chunk(cf, cm)
             if drift_correct:
                 from metric_depth_video_toolbox_tpu.ops import drift as dr

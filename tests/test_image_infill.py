@@ -104,3 +104,29 @@ def test_blur_under_mask_smooths_only_masked(rng):
                                             jnp.asarray(mask), ksize=5))
     assert np.allclose(out[0:3, 0:3], img[0:3, 0:3], atol=1e-3)
     assert not np.allclose(out[11:13, 11:13], img[11:13, 11:13], atol=1e-3)
+
+
+def test_infill_engine_presets_run(tmp_path, rng):
+    """Named diffusion-infill presets (stereocrafter/m2svid/inspatio)
+    drive the chunked SBS infill end-to-end at a tiny working size."""
+    from metric_depth_video_toolbox_tpu.io import video as vio
+    from metric_depth_video_toolbox_tpu.pipeline import infill_diffusion
+
+    t, h, w = 4, 24, 64  # SBS: two 24x32 eyes
+    frames = rng.integers(0, 255, (t, h, w, 3)).astype(np.uint8)
+    masks = np.zeros((t, h, w, 3), np.uint8)
+    masks[:, 8:16, 10:20] = 128
+    sbs = str(tmp_path / "s.mkv")
+    mk = str(tmp_path / "m.mkv")
+    vio.save_rgb_video(frames, sbs, 24)
+    vio.save_rgb_video(masks, mk, 24)
+
+    for preset in ("stereocrafter", "inspatio_world"):
+        eng, drv = infill_diffusion.make_engine(
+            preset, work_hw=(24, 32), chunk=3, overlap=1)
+        out = infill_diffusion.infill_sbs_video_diffusion(
+            sbs, mk, output=str(tmp_path / f"{preset}.mkv"), engine=eng,
+            mirror_left=drv["mirror_left"],
+            drift_correct=drv["drift_correct"])
+        n, ww, hh, _ = vio.video_info(out)
+        assert (n, ww, hh) == (t, w, h)

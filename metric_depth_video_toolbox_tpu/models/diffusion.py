@@ -269,13 +269,18 @@ class VideoInpainter(nn.Module):
     def denoise(self, z, sigma, cond):
         return self.unet(z, sigma, cond)
 
-    def __call__(self, frames, mask):
-        """Training/init forward: frames (T,H,W,3) [0,1], mask (T,H,W).
+    def __call__(self, frames, mask, mono=None):
+        """Training/init forward: frames (T,H,W,3) [0,1], mask (T,H,W),
+        optional mono (T,H,W,3) source-view conditioning (the reference
+        m2svid feeds the original mono video, m2svid_infill.py:89-98).
         Touches encode, denoise AND decode so init creates every param."""
         masked = frames * (1.0 - mask[..., None])
         cond_lat = self.encode(masked)
         m = jax.image.resize(mask, cond_lat.shape[:3], "linear")[..., None]
-        cond = jnp.concatenate([cond_lat, m], axis=-1)
+        parts = [cond_lat, m]
+        if mono is not None:
+            parts.append(self.encode(mono))
+        cond = jnp.concatenate(parts, axis=-1)
         z = self.encode(frames)
         denoised = self.denoise(z, jnp.float32(1.0), cond)
         return self.decode(denoised)

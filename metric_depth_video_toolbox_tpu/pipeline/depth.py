@@ -319,6 +319,18 @@ class DepthCrafterEngine:
         self._ensure(t)
         wh, ww = self.work_hw
 
+        # shape-keyed jit cache: a fresh `def` per call would retrace
+        # (and re-lower) the whole diffusion program every window
+        cache = getattr(self, "_run_cache", None)
+        if cache is None:
+            cache = self._run_cache = {}
+        key = (t, h, w)
+        if key in cache:
+            run = cache[key]
+            self._rng, sub = jax.random.split(self._rng)
+            return robust_call(run, self._params, sub,
+                               jnp.asarray(frames_u8))
+
         @jax.jit
         def run(params, rng, f_u8):
             f = f_u8.astype(jnp.float32) / 255.0
@@ -335,6 +347,7 @@ class DepthCrafterEngine:
             disp = out.mean(axis=-1)  # 1-ch relative disparity
             return jax.image.resize(disp, (t, h, w), "bilinear")
 
+        cache[key] = run
         self._rng, sub = jax.random.split(self._rng)
         return robust_call(run, self._params, sub, jnp.asarray(frames_u8))
 

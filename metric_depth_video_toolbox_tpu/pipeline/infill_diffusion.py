@@ -30,12 +30,14 @@ from metric_depth_video_toolbox_tpu.utils.host import robust_call
 
 class DiffusionInfillEngine:
     def __init__(self, cfg=None, params=None, work_hw=(256, 256),
-                 chunk=25, overlap=6, rng_seed=0):
+                 chunk=25, overlap=6, rng_seed=0,
+                 mono_conditioning=False):
         self.cfg = cfg or dif.DIFFUSION_TINY
         self.model = dif.VideoInpainter(self.cfg)
         self.work_hw = work_hw
         self.chunk = chunk
         self.overlap = overlap
+        self.mono_conditioning = mono_conditioning
         self._params = params
         self._rng = jax.random.PRNGKey(rng_seed)
 
@@ -43,16 +45,37 @@ class DiffusionInfillEngine:
         if self._params is None:
             f = jnp.zeros((self.chunk,) + self.work_hw + (3,))
             m = jnp.zeros((self.chunk,) + self.work_hw)
-            self._params = jax.jit(self.model.init)(self._rng, f, m)
+            mono = f if self.mono_conditioning else None
+            self._params = jax.jit(
+                lambda r, a, b: self.model.init(r, a, b, mono=mono)
+            )(self._rng, f, m)
 
-    def infill_chunk(self, frames_u8, hole_mask):
-        """(T, H, W, 3) uint8 + (T, H, W) bool -> infilled uint8."""
+    def infill_chunk(self, frames_u8, hole_mask, mono_u8=None):
+        """(T, H, W, 3) uint8 + (T, H, W) bool -> infilled uint8.
+        ``mono_u8``: source-view conditioning frames (m2svid/inspatio
+        style) when the engine was built with mono_conditioning."""
         self._ensure()
         t, h, w = frames_u8.shape[:3]
         wh, ww = self.work_hw
+        use_mono = self.mono_conditioning
+        if use_mono and mono_u8 is None:
+            # param shapes include the mono-cond channels; a zero
+            # conditioning keeps them static when no mono video is given
+            mono_u8 = np.zeros_like(np.asarray(frames_u8))
+
+        cache = getattr(self, "_run_cache", None)
+        if cache is None:
+            cache = self._run_cache = {}
+        key = (t, h, w, use_mono)
+        if key in cache:  # avoid per-chunk retrace of a fresh def
+            self._rng, sub = jax.random.split(self._rng)
+            return robust_call(
+                cache[key], self._params, sub, jnp.asarray(frames_u8),
+                jnp.asarray(hole_mask),
+                jnp.asarray(mono_u8) if use_mono else None)
 
         @jax.jit
-        def run(params, rng, f_u8, m):
+        def run(params, rng, f_u8, m, mono_in):
             f = f_u8.astype(jnp.float32) / 255.0
             fw = jax.image.resize(f, (t, wh, ww, 3), "bilinear")
             mw = jax.image.resize(m.astype(jnp.float32), (t, wh, ww),
@@ -62,7 +85,14 @@ class DiffusionInfillEngine:
                                         method=self.model.encode)
             mlat = jax.image.resize(mw, cond_lat.shape[:3],
                                     "linear")[..., None]
-            cond = jnp.concatenate([cond_lat, mlat], axis=-1)
+            parts = [cond_lat, mlat]
+            if mono_in is not None:
+                mono_f = mono_in.astype(jnp.float32) / 255.0
+                mono_w = jax.image.resize(mono_f, (t, wh, ww, 3),
+                                          "bilinear")
+                parts.append(self.model.apply(params, mono_w,
+                                              method=self.model.encode))
+            cond = jnp.concatenate(parts, axis=-1)
             z = dif.sample(
                 lambda p, zz, s, c: self.model.apply(
                     p, zz, s, c, method=self.model.denoise),
@@ -79,9 +109,11 @@ class DiffusionInfillEngine:
                              f_u8.astype(jnp.float32))
             return jnp.clip(comp, 0, 255).astype(jnp.uint8)
 
+        cache[key] = run
         self._rng, sub = jax.random.split(self._rng)
         return robust_call(run, self._params, sub, jnp.asarray(frames_u8),
-                           jnp.asarray(hole_mask))
+                           jnp.asarray(hole_mask),
+                           jnp.asarray(mono_u8) if use_mono else None)
 
 
 def infill_sbs_video_diffusion(sbs_video, infill_mask_video, output=None,
@@ -106,15 +138,26 @@ def infill_sbs_video_diffusion(sbs_video, infill_mask_video, output=None,
     hole = np.any(masks_rgb != 0, axis=-1)
     half = frames.shape[2] // 2
 
+    # original mono video as extra conditioning (m2svid/inspatio
+    # engines, reference m2svid_infill.py:89-98)
+    mono = None
+    if color_video and getattr(eng, "mono_conditioning", False):
+        cvr = vio.VideoReader(color_video, max_frames=max_frames)
+        mono = cvr.read_all()[:t]
+        cvr.close()
+
     out_frames = frames.copy()
     for eye in ("left", "right"):
         if eye == "left":
             f, m = frames[:, :, :half], hole[:, :, :half]
         else:
             f, m = frames[:, :, half:], hole[:, :, half:]
+        mono_eye = mono
         if eye == "left" and mirror_left:
             f = f[:, :, ::-1]
             m = m[:, :, ::-1]
+            if mono_eye is not None:
+                mono_eye = mono_eye[:, :, ::-1]
         result = np.empty_like(f)
         start = 0
         context = None
@@ -129,7 +172,9 @@ def infill_sbs_video_diffusion(sbs_video, infill_mask_video, output=None,
                 if n_ctx > 0:  # overlap < 2 carries no context frames
                     cf[:n_ctx] = context[-n_ctx:]
                     cm[:n_ctx] = False  # already infilled, as context
-            filled = eng.infill_chunk(cf, cm)
+            filled = eng.infill_chunk(
+                cf, cm, mono_u8=mono_eye[idx] if mono_eye is not None
+                else None)
             if drift_correct:
                 from metric_depth_video_toolbox_tpu.ops import drift as dr
                 filled = dr.drift_correct_video(filled, cf)
@@ -183,9 +228,10 @@ def make_engine(preset="stereocrafter", cfg=None, params=None, **overrides):
     """Build a DiffusionInfillEngine + driver kwargs from a preset."""
     p = dict(ENGINE_PRESETS[preset])
     p.update(overrides)
-    eng = DiffusionInfillEngine(cfg=cfg, params=params,
-                                work_hw=p.pop("work_hw"),
-                                chunk=p["chunk"], overlap=p["overlap"])
+    eng = DiffusionInfillEngine(
+        cfg=cfg, params=params, work_hw=p.pop("work_hw"),
+        chunk=p["chunk"], overlap=p["overlap"],
+        mono_conditioning=p.pop("mono_conditioning", False))
     return eng, p
 
 

@@ -36,6 +36,13 @@ class MaskEngine:
         b, h, w = frames_u8.shape[:3]
         self._ensure(b)
 
+        cache = getattr(self, "_run_cache", None)
+        if cache is None:
+            cache = self._run_cache = {}
+        if (h, w) in cache:  # avoid per-batch retrace of a fresh def
+            return robust_call(cache[(h, w)], self._params,
+                               jnp.asarray(frames_u8))
+
         # params as argument (closure-captured device arrays become MLIR
         # constants — a full weight download at trace time)
         @jax.jit
@@ -47,6 +54,7 @@ class MaskEngine:
             p = jax.image.resize(p, (x.shape[0], h, w), "bilinear")
             return (p > self.threshold).astype(jnp.uint8) * 255
 
+        cache[(h, w)] = run
         return robust_call(run, self._params, jnp.asarray(frames_u8))
 
 

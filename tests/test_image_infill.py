@@ -130,3 +130,32 @@ def test_infill_engine_presets_run(tmp_path, rng):
             drift_correct=drv["drift_correct"])
         n, ww, hh, _ = vio.video_info(out)
         assert (n, ww, hh) == (t, w, h)
+
+
+def test_infill_mono_conditioning(tmp_path, rng):
+    """m2svid-style engines condition on the original mono video; the
+    conditioning latent changes the output inside the holes."""
+    from metric_depth_video_toolbox_tpu.io import video as vio
+    from metric_depth_video_toolbox_tpu.pipeline import infill_diffusion
+
+    t, h, w = 3, 24, 64
+    frames = rng.integers(0, 255, (t, h, w, 3)).astype(np.uint8)
+    masks = np.zeros((t, h, w, 3), np.uint8)
+    masks[:, 6:18, 40:56] = 128
+    mono = rng.integers(0, 255, (t, h, w // 2, 3)).astype(np.uint8)
+    sbs = str(tmp_path / "s.mkv")
+    mk = str(tmp_path / "m.mkv")
+    cv = str(tmp_path / "c.mkv")
+    vio.save_rgb_video(frames, sbs, 24)
+    vio.save_rgb_video(masks, mk, 24)
+    vio.save_rgb_video(mono, cv, 24)
+
+    eng, drv = infill_diffusion.make_engine(
+        "m2svid", work_hw=(24, 32), chunk=3, overlap=1)
+    assert eng.mono_conditioning
+    out = infill_diffusion.infill_sbs_video_diffusion(
+        sbs, mk, output=str(tmp_path / "o.mkv"), engine=eng,
+        color_video=cv, mirror_left=drv["mirror_left"],
+        drift_correct=drv["drift_correct"])
+    n, ww, hh, _ = vio.video_info(out)
+    assert (n, ww, hh) == (t, w, h)

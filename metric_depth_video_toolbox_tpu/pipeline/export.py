@@ -465,3 +465,5 @@ def _bpy_export_alembic(mats, xfov, width, height, fps, path, points,
         obj = bpy.data.objects.new("mdvt_cloud", mesh)
         bpy.context.collection.objects.link(obj)
     bpy.ops.wm.alembic_export(filepath=path, selected=False)
+    # also save the .blend scene (reference convert_...py:422)
+    bpy.ops.wm.save_as_mainfile(filepath=path + ".blend")

@@ -103,10 +103,32 @@ def step2_estimate_depth(scenes, engine="vda", max_depth=100.0,
         if scene["finished"] or vio.is_valid_video(scene["depth_video_file"]):
             continue
         eng = scene.get("Engine", "") or engine
+        if eng == "mvsa":
+            # MVS needs a camera track the movie pipeline doesn't have
+            # at depth time (reference movie_2_3D has no mvsa path
+            # either); fall back to a self-contained engine
+            print(f"scene {scene['Scene Number']}: mvsa needs "
+                  "--transformation_file; using single_frame instead")
+            eng = "single_frame"
         if eng not in depth_stage.ENGINES:
             eng = "vda" if eng in ("vda", "da3") else "single_frame"
         by_engine.setdefault(eng, []).append(scene["scene_video_file"])
     for eng, videos in by_engine.items():
+        if eng == "depthcrafter":
+            # the diffusion engine re-metricizes against a reference;
+            # the reference movie first runs a single-frame metric pass
+            # per scene to make one (movie_2_3D.py:337-369)
+            for v in videos:
+                ref = v + "_ref_depth.mkv"
+                if not vio.is_valid_video(ref):
+                    tmp = depth_stage.run_batch(
+                        "single_frame", v, max_depth=max_depth,
+                        **(engine_kwargs or {}))[0]
+                    os.replace(tmp, ref)
+                depth_stage.run_batch(
+                    eng, v, max_depth=max_depth,
+                    reference_depth_video=ref, **(engine_kwargs or {}))
+            continue
         depth_stage.run_batch(eng, _as_list(videos), max_depth=max_depth,
                               **(engine_kwargs or {}))
 

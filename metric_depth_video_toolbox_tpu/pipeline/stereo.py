@@ -360,7 +360,8 @@ def render_stereo_video(depth_video, color_video=None, output=None,
                         transformation_lock_frame=0,
                         mask_video=None, save_background=False,
                         load_background=None,
-                        render_as_pointcloud=False):
+                        render_as_pointcloud=False,
+                        vr180_eye_size=1920):
     """Stream a depth(+color) video through the device stereo step.
 
     Mirrors the reference CLI semantics (stereo_rerender.py argparse,
@@ -392,7 +393,8 @@ def render_stereo_video(depth_video, color_video=None, output=None,
     if touchly0:
         vr180 = True
     if vr180:
-        out_w = out_h = 1920
+        # per-eye equirect square (reference stereo_rerender.py:527-535)
+        out_w = out_h = vr180_eye_size
 
     # the Pallas sweep path requires same-camera x-only warps: no
     # per-frame camera transformations and not VR180's separate render cam

@@ -94,3 +94,34 @@ def test_smooth_convergence_handles_nans():
     assert out.shape == (7,)
     assert np.isfinite(out).all()
     assert 1.5 < out.mean() < 2.6
+
+
+def test_touchly0_layout(tmp_path):
+    """Touchly0: 3-panel (left | right | depth) at the render eye size
+    (reference stereo_rerender.py:417-418)."""
+    depth = np.full((3, 16, 24), 4.0, np.float32)
+    color = np.zeros((3, 16, 24, 3), np.uint8)
+    dpath = str(tmp_path / "d.mkv")
+    cpath = str(tmp_path / "c.mkv")
+    vio.save_depth_video(depth, dpath, 24, 20.0)
+    vio.save_rgb_video(color, cpath, 24)
+    out = stereo.render_stereo_video(
+        dpath, color_video=cpath, xfov=60.0, batch_size=2, touchly0=True,
+        max_depth=20.0, vr180_eye_size=64)
+    n, w, h, _ = vio.video_info(out)
+    assert out.endswith("_Touchly0.mkv")
+    assert (n, w, h) == (3, 64 * 3, 64)
+
+
+def test_vr180_equirect_output(tmp_path):
+    depth = np.full((2, 16, 24), 4.0, np.float32)
+    color = np.full((2, 16, 24, 3), 128, np.uint8)
+    dpath = str(tmp_path / "d.mkv")
+    cpath = str(tmp_path / "c.mkv")
+    vio.save_depth_video(depth, dpath, 24, 20.0)
+    vio.save_rgb_video(color, cpath, 24)
+    out = stereo.render_stereo_video(
+        dpath, color_video=cpath, xfov=60.0, batch_size=2, vr180=True,
+        max_depth=20.0, vr180_eye_size=64)
+    n, w, h, _ = vio.video_info(out)
+    assert (n, w, h) == (2, 64 * 2, 64)

@@ -50,7 +50,7 @@ def run(args):
         max_scene_frames=args.max_scene_frames,
         scene_file=args.scene_file, csv_delimiter=args.csv_delimiter,
         end_scene=args.end_scene, no_render=args.no_render,
-        batch_size=args.batch_size,
+        batch_size=args.batch_size, parallel=args.parallel,
         generate_masks=not args.skip_masks,
         engine_kwargs={"size": args.model_size,
                        "input_size": args.input_size})

@@ -166,23 +166,42 @@ def step4_find_convergence(scenes, max_depth=100.0):
 
 
 def step5_render_sbs(scenes, xfov=None, max_depth=100.0, infill_mask=True,
-                     batch_size=8, **stereo_kwargs):
-    for scene in scenes:
-        if scene["finished"] or os.path.exists(scene["sbs"]):
-            continue
+                     batch_size=8, parallel=0, **stereo_kwargs):
+    """Render each scene's SBS output. ``parallel`` > 1 runs scenes on
+    worker threads — the reference's subprocess fan-out
+    (movie_2_3D.py:422-452) becomes host-IO overlap here: video
+    decode/encode of one scene overlaps device compute of another (the
+    device itself is one resource; the batched stereo step keeps it
+    busy)."""
+    todo = [s for s in scenes
+            if not (s["finished"] or os.path.exists(s["sbs"]))]
+
+    def render(scene, gate=None):
         conv = None
         if scene["convergence"] and os.path.exists(scene["convergence_file"]):
             conv = sidecar.load_convergence_depths(scene["convergence_file"])
         xfovs = None
         if os.path.exists(scene["xfovs_file"]):
             xfovs = sidecar.load_xfovs(scene["xfovs_file"])
-        stereo_stage.render_stereo_video(
+        return stereo_stage.render_stereo_video(
             scene["depth_video_file"],
             color_video=scene["scene_video_file"],
             output=scene["sbs"], xfov=xfov if xfovs is None else None,
             xfovs=xfovs, convergence_depths=conv, max_depth=max_depth,
             infill_mask=infill_mask and scene["infill"],
             batch_size=batch_size, **stereo_kwargs)
+
+    if parallel and parallel > 1 and len(todo) > 1:
+        from metric_depth_video_toolbox_tpu.parallel import scheduler
+        results = scheduler.run_scenes_threaded(render, todo,
+                                                workers=parallel)
+        errs = [r for _, r in results if isinstance(r, Exception)]
+        if errs:
+            raise RuntimeError(f"{len(errs)} scene renders failed: "
+                               f"{errs[0]}")
+    else:
+        for scene in todo:
+            render(scene)
 
 
 def step6_infill(scenes, infill_engine="basic", **kw):
@@ -278,7 +297,7 @@ def movie_to_3d(color_video, output_dir=None, engine="vda",
                 max_scene_frames=1500, scene_file=None, end_scene=-1,
                 batch_size=8, engine_kwargs=None, stereo_kwargs=None,
                 mask_engine=None, generate_masks=True,
-                csv_delimiter=",", no_render=False):
+                csv_delimiter=",", no_render=False, parallel=0):
     """The full pipeline (reference movie_2_3D.main, :785-830).
     Returns the final movie path. Fully resumable."""
     output_dir = output_dir or (os.path.splitext(color_video)[0] + "_3d")
@@ -300,7 +319,8 @@ def movie_to_3d(color_video, output_dir=None, engine="vda",
         # reference --no_render: stop before rendering and later steps
         return None
     step5_render_sbs(scenes, xfov=xfov, max_depth=max_depth,
-                     batch_size=batch_size, **(stereo_kwargs or {}))
+                     batch_size=batch_size, parallel=parallel,
+                     **(stereo_kwargs or {}))
     step6_infill(scenes, infill_engine=infill_engine)
     bad = validate_video_lengths(scenes)
     if bad:

@@ -41,6 +41,8 @@ def build_parser(parser=None):
     p.add_argument("--render_as_pointcloud", action="store_true",
                    help="splat points instead of filled surface cells")
     p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--num_planes", default=128, type=int,
+                   help="disparity-sweep plane count (quality vs speed)")
     p.add_argument("--compressed", action="store_true")
     p.add_argument("--mask_video", type=str,
                    help="foreground mask; switches to background-"
@@ -101,7 +103,8 @@ def run(args):
             transformation_lock_frame=args.transformation_lock_frame,
             mask_video=args.mask_video, save_background=args.save_background,
             load_background=args.load_background,
-            render_as_pointcloud=args.render_as_pointcloud)
+            render_as_pointcloud=args.render_as_pointcloud,
+            num_planes=args.num_planes)
     print(f"Processing complete. Output saved to: {out}")
     return out
 

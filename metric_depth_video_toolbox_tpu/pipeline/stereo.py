@@ -361,7 +361,7 @@ def render_stereo_video(depth_video, color_video=None, output=None,
                         mask_video=None, save_background=False,
                         load_background=None,
                         render_as_pointcloud=False,
-                        vr180_eye_size=1920):
+                        vr180_eye_size=1920, num_planes=128):
     """Stream a depth(+color) video through the device stereo step.
 
     Mirrors the reference CLI semantics (stereo_rerender.py argparse,
@@ -414,7 +414,7 @@ def render_stereo_video(depth_video, color_video=None, output=None,
         do_basic_infill=do_basic_infill, touchly0=touchly0,
         touchly1=touchly1, touchly_max_depth=touchly_max_depth,
         touchly_min_depth=touchly_min_depth, vr180=vr180,
-        warp_method=warp_method,
+        warp_method=warp_method, num_planes=num_planes,
         subsample=1 if render_as_pointcloud else StereoConfig.subsample,
         has_convergence=convergence_depths is not None)
 

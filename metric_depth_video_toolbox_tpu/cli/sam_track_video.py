@@ -16,6 +16,9 @@ def build_parser(parser=None):
     p.add_argument("--yfov", type=float)
     p.add_argument("--max_depth", default=100, type=float)
     p.add_argument("--max_frames", default=-1, type=int)
+    p.add_argument("--mask_video", type=str,
+                   help="motion mask: tracks on masked pixels are "
+                        "excluded from the bundle adjustment")
     p.add_argument("--optimize_intrinsic", action="store_true")
     p.add_argument("--ba_iters", default=10, type=int)
     p.add_argument("--save_motion_video", action="store_true")
@@ -30,7 +33,8 @@ def run(args):
         args.color_video, args.depth_video, xfov=args.xfov, yfov=args.yfov,
         max_depth=args.max_depth, max_frames=args.max_frames,
         optimize_intrinsic=args.optimize_intrinsic,
-        ba_iters=args.ba_iters, save_motion_video=args.save_motion_video)
+        ba_iters=args.ba_iters, save_motion_video=args.save_motion_video,
+        mask_video=args.mask_video)
     print(f"transformations saved: {out} (mean reproj err {res:.2f} px)")
     return out
 

@@ -175,7 +175,8 @@ def motion_weights(dense_tracks, transforms, depths_at_tracks, k,
 def slam_track_video(color_video, depth_video, xfov=None, yfov=None,
                      max_depth=100.0, max_frames=-1, output=None,
                      optimize_intrinsic=False, ba_iters=10,
-                     max_tracks=512, grid=24, save_motion_video=False):
+                     max_tracks=512, grid=24, save_motion_video=False,
+                     mask_video=None):
     """Full tracking pipeline: LK tracks -> pairwise init -> global BA.
 
     Returns (transformations_path, mean_reprojection_error_px).
@@ -217,6 +218,22 @@ def slam_track_video(color_video, depth_video, xfov=None, yfov=None,
     dv.close()
 
     weights = motion_weights(dense, transforms, depths_at, k)
+    if mask_video:
+        # external motion mask (the reference feeds motion-probability
+        # masks into DROID, sam_track_video.py:190): tracks that ever
+        # land on a masked pixel are down-weighted to zero
+        mv = vio.VideoReader(mask_video, max_frames=max_frames)
+        masked_ever = np.zeros(dense.shape[1], bool)
+        for fi in range(t_total):
+            m = mv.read_batch(1)
+            if m is None:
+                break
+            gray = m[0][..., 0]
+            xi = np.clip(np.round(dense[fi, :, 0]).astype(int), 0, w - 1)
+            yi = np.clip(np.round(dense[fi, :, 1]).astype(int), 0, h - 1)
+            masked_ever |= (dense[fi, :, 2] > 0) & (gray[yi, xi] > 127)
+        mv.close()
+        weights = np.where(masked_ever, 0.0, weights)
     valid = dense[..., 2] * weights[None, :]
 
     first_idx = np.argmax(dense[..., 2] > 0, axis=0)

@@ -43,7 +43,8 @@ def build_parser(parser=None):
     p.add_argument("--batch_size", default=8, type=int)
     p.add_argument("--num_planes", default=128, type=int,
                    help="disparity-sweep plane count (quality vs speed)")
-    p.add_argument("--compressed", action="store_true")
+    p.add_argument("--compressed", action="store_true",
+                   help="lossy codec output (smaller, lower quality)")
     p.add_argument("--mask_video", type=str,
                    help="foreground mask; switches to background-"
                         "accumulation rendering")
@@ -104,7 +105,7 @@ def run(args):
             mask_video=args.mask_video, save_background=args.save_background,
             load_background=args.load_background,
             render_as_pointcloud=args.render_as_pointcloud,
-            num_planes=args.num_planes)
+            num_planes=args.num_planes, compressed=args.compressed)
     print(f"Processing complete. Output saved to: {out}")
     return out
 

@@ -361,7 +361,8 @@ def render_stereo_video(depth_video, color_video=None, output=None,
                         mask_video=None, save_background=False,
                         load_background=None,
                         render_as_pointcloud=False,
-                        vr180_eye_size=1920, num_planes=128):
+                        vr180_eye_size=1920, num_planes=128,
+                        compressed=False):
     """Stream a depth(+color) video through the device stereo step.
 
     Mirrors the reference CLI semantics (stereo_rerender.py argparse,
@@ -442,7 +443,9 @@ def render_stereo_video(depth_video, color_video=None, output=None,
 
     eq_map = None
 
-    writer = vio.VideoWriter(output, dv.fps, *out_size)
+    writer = vio.VideoWriter(
+        output, dv.fps, *out_size,
+        codec_fourcc="mp4v" if compressed else "FFV1")
     mask_writer = (vio.VideoWriter(output + "_infillmask.mkv", dv.fps,
                                    *out_size) if infill_mask else None)
     depth_writer = (vio.VideoWriter(output + "_depth.mkv", dv.fps,

@@ -21,7 +21,7 @@ import numpy as np
 H, W = 1080, 1920
 BATCH = 4
 ITERS = 6
-DEPTH_BATCH = 16
+DEPTH_BATCH = 24
 DEPTH_ITERS = 4
 
 

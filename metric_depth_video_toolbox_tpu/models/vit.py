@@ -64,23 +64,31 @@ VIT_TINY = ViTConfig(embed_dim=64, depth=4, num_heads=4,
 PRESETS["vitt"] = VIT_TINY
 
 
-def _flash_attention(q, k, v):
+def _flash_attention(q, k, v, n_real=None):
     """Pallas TPU flash attention over (B, N, H, HD) bf16 tensors.
 
     Pads N to a 512 multiple and masks the padding with segment ids so
     softmax statistics are exact; scores stay in VMEM (the XLA path
     round-trips the (N, N) bf16 score tensor through HBM, which measures
-    memory-bound at ViT-L token counts on v5e)."""
+    memory-bound at ViT-L token counts on v5e).
+
+    ``n_real``: number of valid tokens when the caller already padded
+    the sequence (the ViT pads ONCE for the whole depth — per-layer
+    pads measured 36 ms/iter of pure data movement at ViT-L/batch 16).
+    """
     from jax.experimental.pallas.ops.tpu import flash_attention as fa_mod
 
     b, n, h, hd = q.shape
+    n_real = n if n_real is None else n_real
     np_ = ((n + 511) // 512) * 512
 
     def to_bhnd(t):
         t = t.transpose(0, 2, 1, 3)
-        return jnp.pad(t, ((0, 0), (0, 0), (0, np_ - n), (0, 0)))
+        if np_ > n:
+            t = jnp.pad(t, ((0, 0), (0, 0), (0, np_ - n), (0, 0)))
+        return t
 
-    seg = (jax.lax.broadcasted_iota(jnp.int32, (b, np_), 1) < n)
+    seg = (jax.lax.broadcasted_iota(jnp.int32, (b, np_), 1) < n_real)
     seg = seg.astype(jnp.int32)
     sids = fa_mod.SegmentIds(q=seg, kv=seg)
     # one q block per (batch, head) measures fastest at ViT-L token
@@ -96,6 +104,7 @@ def _flash_attention(q, k, v):
 
 class Attention(nn.Module):
     cfg: ViTConfig
+    n_real: int | None = None  # valid tokens when the seq is pre-padded
 
     @nn.compact
     def __call__(self, x):
@@ -115,10 +124,19 @@ class Attention(nn.Module):
                      and d // c.num_heads >= 64
                      and c.dtype == "bfloat16")
         if use_flash:
-            out = _flash_attention(q, k, v)
+            out = _flash_attention(q, k, v, n_real=self.n_real)
         else:
-            # fused XLA attention: still avoids the f32 score tensor
-            out = jax.nn.dot_product_attention(q, k, v)
+            # fused XLA attention: still avoids the f32 score tensor;
+            # mask pre-pad tokens out of the softmax when present
+            if self.n_real is not None and self.n_real < q.shape[1]:
+                npad = q.shape[1]
+                ok = jax.lax.broadcasted_iota(
+                    jnp.int32, (npad, npad), 1) < self.n_real
+                bias = jnp.where(ok, 0.0, -1e9).astype(q.dtype)
+                out = jax.nn.dot_product_attention(
+                    q, k, v, bias=bias[None, None])
+            else:
+                out = jax.nn.dot_product_attention(q, k, v)
         out = out.reshape(out.shape[:-2] + (d,))
         return nn.Dense(d, dtype=c.compute_dtype, name="proj")(out)
 
@@ -148,12 +166,13 @@ class LayerScale(nn.Module):
 
 class Block(nn.Module):
     cfg: ViTConfig
+    n_real: int | None = None
 
     @nn.compact
     def __call__(self, x):
         c = self.cfg
         y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
-        y = Attention(c, name="attn")(y)
+        y = Attention(c, self.n_real, name="attn")(y)
         x = x + LayerScale(c.embed_dim, c.layerscale_init, name="ls1")(y)
         y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
         y = Mlp(c, name="mlp")(y)
@@ -193,14 +212,27 @@ class ViT(nn.Module):
             axis=1)
         x = x + pos.astype(x.dtype)
 
+        # pad the token axis to a 512 multiple ONCE for the whole depth:
+        # flash attention wants 512-aligned sequences, and per-layer
+        # padding measured 36 ms/iter of pure pad traffic at ViT-L
+        # batch 16. Pad rows are masked out of attention via segment
+        # ids and sliced off at extraction; LN/MLP on them is the 4.8%
+        # tax that buys aligned shapes everywhere.
+        n_real = gh * gw + 1
+        n_pad = (-n_real) % 512 if (c.attention_impl == "flash"
+                                    and jax.default_backend() == "tpu"
+                                    ) else 0
+        if n_pad:
+            x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
+
         final_norm = nn.LayerNorm(dtype=jnp.float32, name="norm")
         wanted = set(c.out_indices)
         stored = {}
         for i in range(c.depth):
-            x = Block(c, name=f"block{i}")(x)
+            x = Block(c, n_real if n_pad else None, name=f"block{i}")(x)
             if i in wanted:
-                stored[i] = final_norm(x)
-        xn = final_norm(x)
+                stored[i] = final_norm(x[:, :n_real])
+        xn = final_norm(x[:, :n_real])
         # select in out_indices order (duplicates allowed, e.g. tiny configs)
         feats = [stored[i] for i in c.out_indices]
         patch_feats = [f[:, 1:].reshape(b, gh, gw, c.embed_dim)

@@ -19,7 +19,7 @@ from functools import partial
 import numpy as np
 
 H, W = 1080, 1920
-BATCH = 4
+BATCH = 16
 ITERS = 6
 DEPTH_BATCH = 24
 DEPTH_ITERS = 4

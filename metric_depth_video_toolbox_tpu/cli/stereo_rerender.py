@@ -40,7 +40,7 @@ def build_parser(parser=None):
     p.add_argument("--create_sbs_depth_video", action="store_true")
     p.add_argument("--render_as_pointcloud", action="store_true",
                    help="splat points instead of filled surface cells")
-    p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--batch_size", default=16, type=int)
     p.add_argument("--num_planes", default=128, type=int,
                    help="disparity-sweep plane count (quality vs speed)")
     p.add_argument("--compressed", action="store_true",

@@ -28,7 +28,7 @@ def build_parser(parser=None):
     p.add_argument("--skip_masks", action="store_true",
                    help="skip subject-mask generation (convergence then "
                         "uses the whole frame)")
-    p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--batch_size", default=16, type=int)
     p.add_argument("--parallel", default=0, type=int,
                    help="host IO worker threads (device work is batched)")
     p.add_argument("--gui", action="store_true",

@@ -184,7 +184,7 @@ class SingleFrameEngine:
             from metric_depth_video_toolbox_tpu.parallel import mesh as mm
             self._mesh = mm.frame_mesh()
 
-    def infer_video(self, frames_u8, batch=8):
+    def infer_video(self, frames_u8, batch=16):
         t, h, w = frames_u8.shape[:3]
         work_hw = da.working_resolution(h, w, self.input_size,
                                         self.cfg.vit.patch_size)

@@ -295,7 +295,7 @@ def step7_concat(scenes, color_video, output=None, compressed=False):
 def movie_to_3d(color_video, output_dir=None, engine="vda",
                 infill_engine="basic", xfov=None, max_depth=100.0,
                 max_scene_frames=1500, scene_file=None, end_scene=-1,
-                batch_size=8, engine_kwargs=None, stereo_kwargs=None,
+                batch_size=16, engine_kwargs=None, stereo_kwargs=None,
                 mask_engine=None, generate_masks=True,
                 csv_delimiter=",", no_render=False, parallel=0):
     """The full pipeline (reference movie_2_3D.main, :785-830).

@@ -34,7 +34,9 @@ def run(args):
     h14 = (cv.height // 14) * 14
     w14 = (cv.width // 14) * 14
 
-    cfg = promptda.PromptDAConfig(max_depth=args.max_depth)
+    # output range follows the prompt's own metric range (PromptDA
+    # normalizes/denormalizes per frame), so no max_depth in the config
+    cfg = promptda.PromptDAConfig()
     model = promptda.PromptDA(cfg)
     params = None
     if args.checkpoint:

@@ -60,8 +60,12 @@ def conv(sd, prefix):
 
 
 def conv_transpose(sd, prefix):
-    w = _t(sd[prefix + ".weight"])  # torch: (in, out, kh, kw)
-    out = {"kernel": w.transpose(2, 3, 0, 1)}
+    # torch ConvTranspose2d (in, out, kh, kw) computes the gradient-of-
+    # conv (kernel applied spatially FLIPPED relative to lax.conv_
+    # transpose's correlation); flip kh/kw so flax nn.ConvTranspose
+    # reproduces torch outputs (verified numerically vs HF torch).
+    w = _t(sd[prefix + ".weight"])
+    out = {"kernel": w.transpose(2, 3, 0, 1)[::-1, ::-1].copy()}
     if prefix + ".bias" in sd:
         out["bias"] = _t(sd[prefix + ".bias"])
     return out
@@ -70,6 +74,51 @@ def conv_transpose(sd, prefix):
 def layernorm(sd, prefix):
     return {"scale": _t(sd[prefix + ".weight"]),
             "bias": _t(sd[prefix + ".bias"])}
+
+
+def _cubic_kernel(x, a=-0.75):
+    """torch bicubic kernel (a=-0.75, the torchvision/PIL convention)."""
+    x = np.abs(x)
+    k = np.where(x <= 1, (a + 2) * x ** 3 - (a + 3) * x ** 2 + 1,
+                 np.where(x < 2, a * x ** 3 - 5 * a * x ** 2 + 8 * a * x
+                          - 4 * a, 0.0))
+    return k
+
+
+def _bicubic_mat(n_in, n_out):
+    """(n_out, n_in) torch-style bicubic matrix, align_corners=False
+    (half-pixel centers, edge clamped) — matches F.interpolate(mode=
+    'bicubic') used by DINOv2 interpolate_pos_encoding."""
+    if n_in == n_out:
+        return np.eye(n_in, dtype=np.float32)
+    scale = n_in / n_out
+    src = (np.arange(n_out) + 0.5) * scale - 0.5
+    base = np.floor(src).astype(np.int64)
+    m = np.zeros((n_out, n_in), np.float32)
+    for off in (-1, 0, 1, 2):
+        idx = base + off
+        w = _cubic_kernel(src - idx)
+        idx = np.clip(idx, 0, n_in - 1)
+        np.add.at(m, (np.arange(n_out), idx), w)
+    return m
+
+
+def interpolate_pos_embed(pos, grid_src, grid_dst):
+    """Resample a (1, gh*gw+1, D) DINOv2 position embedding to a new
+    patch grid (bicubic, cls token passed through) — the conversion-time
+    equivalent of DINOv2's runtime interpolate_pos_encoding, so our
+    static-shape ViT can bake the target resolution into the params."""
+    pos = _t(pos)
+    cls_tok, patch = pos[:, :1], pos[:, 1:]
+    gh0, gw0 = grid_src
+    gh1, gw1 = grid_dst
+    d = patch.shape[-1]
+    grid = patch.reshape(gh0, gw0, d)
+    mh = _bicubic_mat(gh0, gh1)
+    mw = _bicubic_mat(gw0, gw1)
+    grid = np.einsum("oh,hwd->owd", mh, grid)
+    grid = np.einsum("ow,hwd->hod", mw, grid)
+    return np.concatenate([cls_tok, grid.reshape(1, gh1 * gw1, d)], axis=1)
 
 
 def convert_dinov2_vit(state_dict, cfg):
@@ -143,6 +192,113 @@ def convert_dpt_head(state_dict, cfg):
     p["head_conv2"] = conv(sd, "scratch.output_conv2.0")
     p["head_conv3"] = conv(sd, "scratch.output_conv2.2")
     return p
+
+
+def convert_dinov2_hf(state_dict, cfg, prefix="backbone."):
+    """HF transformers Dinov2 layout -> our models.vit.ViT params.
+
+    HF uses separate query/key/value projections; our ViT uses the
+    original DINOv2 fused qkv, so [q; k; v] concatenate along the output
+    dim (verified numerically in tests/test_weight_exact.py)."""
+    sd = {k[len(prefix):]: v for k, v in state_dict.items()
+          if k.startswith(prefix)} if prefix else dict(state_dict)
+    p = {
+        "patch_embed": conv(sd, "embeddings.patch_embeddings.projection"),
+        "cls_token": _t(sd["embeddings.cls_token"]),
+        "pos_embed": _t(sd["embeddings.position_embeddings"]),
+        "norm": layernorm(sd, "layernorm"),
+    }
+    for i in range(cfg.depth):
+        b = f"encoder.layer.{i}"
+        qw = np.concatenate([
+            _t(sd[f"{b}.attention.attention.{n}.weight"])
+            for n in ("query", "key", "value")], axis=0)
+        qb = np.concatenate([
+            _t(sd[f"{b}.attention.attention.{n}.bias"])
+            for n in ("query", "key", "value")], axis=0)
+        p[f"block{i}"] = {
+            "norm1": layernorm(sd, f"{b}.norm1"),
+            "attn": {"qkv": {"kernel": qw.T, "bias": qb},
+                     "proj": linear(sd, f"{b}.attention.output.dense")},
+            "ls1": {"gamma": _t(sd[f"{b}.layer_scale1.lambda1"])},
+            "norm2": layernorm(sd, f"{b}.norm2"),
+            "mlp": {"fc1": linear(sd, f"{b}.mlp.fc1"),
+                    "fc2": linear(sd, f"{b}.mlp.fc2")},
+            "ls2": {"gamma": _t(sd[f"{b}.layer_scale2.lambda1"])},
+        }
+    return p
+
+
+def convert_dpt_head_hf(state_dict, n_levels=4):
+    """HF transformers DepthAnything neck+head layout -> our DPTHead
+    params. HF fusion_stage.layers[0] is the COARSEST level (applied
+    first) = our fusion3; layers[0].residual_layer1 exists in the HF
+    tree but is never called (first fusion has no skip), so it is
+    dropped. Requires DPTConfig(torch_resize=True, fast_head=False)."""
+    sd = state_dict
+    p = {}
+    for i in range(n_levels):
+        p[f"project{i}"] = conv(sd, f"neck.reassemble_stage.layers.{i}"
+                                    ".projection")
+        p[f"scratch{i}"] = {
+            "kernel": _t(sd[f"neck.convs.{i}.weight"]).transpose(2, 3, 1, 0)}
+    p["resize0"] = conv_transpose(sd, "neck.reassemble_stage.layers.0.resize")
+    p["resize1"] = conv_transpose(sd, "neck.reassemble_stage.layers.1.resize")
+    p["resize3"] = conv(sd, "neck.reassemble_stage.layers.3.resize")
+
+    def rcu(prefix):
+        return {"conv1": conv(sd, prefix + ".convolution1"),
+                "conv2": conv(sd, prefix + ".convolution2")}
+
+    for ours, theirs in (("fusion3", 0), ("fusion2", 1), ("fusion1", 2),
+                         ("fusion0", 3)):
+        fl = f"neck.fusion_stage.layers.{theirs}"
+        blk = {"rcu2": rcu(fl + ".residual_layer2"),
+               "project": conv(sd, fl + ".projection")}
+        if ours != "fusion3":
+            blk["rcu1"] = rcu(fl + ".residual_layer1")
+        p[ours] = blk
+    p["head_conv1"] = conv(sd, "head.conv1")
+    p["head_conv2"] = conv(sd, "head.conv2")
+    p["head_conv3"] = conv(sd, "head.conv3")
+    return p
+
+
+def convert_da2_hf(state_dict, vit_cfg, grid_hw=None):
+    """Full HF-layout Depth-Anything checkpoint (e.g.
+    depth-anything/Depth-Anything-V2-*-hf) -> our DepthAnything params.
+    Use with DPTConfig(torch_resize=True, fast_head=False); metric
+    checkpoints additionally need head_act='sigmoid'. ``grid_hw``
+    resamples the position embedding to a new (gh, gw) patch grid."""
+    backbone = convert_dinov2_hf(state_dict, vit_cfg)
+    if grid_hw is not None:
+        n = backbone["pos_embed"].shape[1] - 1
+        g0 = int(round(float(np.sqrt(n))))
+        backbone["pos_embed"] = interpolate_pos_embed(
+            backbone["pos_embed"], (g0, n // g0), grid_hw)
+    return {"params": {
+        "backbone": backbone,
+        "head": convert_dpt_head_hf(state_dict),
+    }}
+
+
+def convert_promptda_hf(state_dict, vit_cfg, grid_hw=None):
+    """HF-layout PromptDepthAnything checkpoint (e.g.
+    depth-anything/prompt-depth-anything-vitl-hf) -> our PromptDA
+    params. Use with DPTConfig(torch_resize=True, fast_head=False,
+    head_act='sigmoid'). Adds the per-fusion-level prompt branches
+    (fusion_stage.layers.N.prompt_depth_layer.convolution{1,2,3})."""
+    out = convert_da2_hf(state_dict, vit_cfg, grid_hw)
+    head = out["params"]["head"]
+    for ours, theirs in (("fusion3", 0), ("fusion2", 1), ("fusion1", 2),
+                         ("fusion0", 3)):
+        pl = f"neck.fusion_stage.layers.{theirs}.prompt_depth_layer"
+        head[ours]["prompt"] = {
+            "conv1": conv(state_dict, pl + ".convolution1"),
+            "conv2": conv(state_dict, pl + ".convolution2"),
+            "conv3": conv(state_dict, pl + ".convolution3"),
+        }
+    return out
 
 
 def convert_da2(state_dict, vit_cfg):

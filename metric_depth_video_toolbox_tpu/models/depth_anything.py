@@ -60,6 +60,9 @@ class DepthAnything(nn.Module):
                               name="head")(feats)
         out = out[..., 0].astype(jnp.float32)
         if self.cfg.metric:
+            if self.cfg.dpt.head_act == "sigmoid":
+                # DA-V2 metric convention: sigmoid head * max_depth
+                return out * self.cfg.max_depth
             return jnp.clip(out, 0.0, self.cfg.max_depth)
         return out
 

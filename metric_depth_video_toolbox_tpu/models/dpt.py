@@ -15,6 +15,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -28,11 +29,18 @@ class DPTConfig:
     # inputs). Disable when loading converted torch checkpoints to match
     # the original op order exactly.
     fast_head: bool = True
-    # torch_resize: use the original DPT learned resize layers
-    # (ConvTranspose x4/x2, identity, strided conv x0.5) instead of
-    # bilinear resize, so torch DA-V2 checkpoints convert weight-exact
-    # (reference depth head layout). Default off: bilinear fuses better.
+    # torch_resize: weight-exact torch decode. Uses the original DPT
+    # learned resize layers (ConvTranspose x4/x2, identity, strided conv
+    # x0.5) instead of bilinear resize, align_corners=True bilinear
+    # interpolation in the fusion/head upsamples, and the final fusion's
+    # x2 upsample (original DA-V2 refinenet1 has no `size` arg -> scale
+    # factor 2; verified numerically against the HF torch implementation
+    # in tests/test_weight_exact.py). Default off: half-pixel bilinear
+    # fuses better and skips the extra 2x feature map.
     torch_resize: bool = False
+    # final activation of the head: 'relu' (relative DA-V2) or 'sigmoid'
+    # (metric DA-V2: caller multiplies by max_depth).
+    head_act: str = "relu"
 
     @property
     def compute_dtype(self):
@@ -45,6 +53,37 @@ DPT_TINY = DPTConfig(features=32, out_channels=(16, 32, 48, 64))
 def _resize(x, hw):
     return jax.image.resize(
         x, (x.shape[0], hw[0], hw[1], x.shape[3]), "bilinear").astype(x.dtype)
+
+
+def _interp_mat_ac(n_in, n_out):
+    """(n_out, n_in) bilinear interpolation matrix, torch
+    align_corners=True convention: src = i * (n_in-1)/(n_out-1)."""
+    m = np.zeros((n_out, n_in), np.float32)
+    if n_out == 1 or n_in == 1:
+        m[:, 0] = 1.0
+        return m
+    src = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    lo = np.floor(src).astype(np.int64)
+    lo = np.clip(lo, 0, n_in - 2)
+    w = src - lo
+    m[np.arange(n_out), lo] = 1.0 - w
+    m[np.arange(n_out), lo + 1] = w
+    return m
+
+
+def resize_align_corners(x, hw):
+    """Bilinear resize matching torch F.interpolate(align_corners=True),
+    expressed as two small matmuls (MXU-friendly; exact weights)."""
+    b, h, w, c = x.shape
+    oh, ow = hw
+    dt = x.dtype
+    if oh != h:
+        mh = jnp.asarray(_interp_mat_ac(h, oh), dt)
+        x = jnp.einsum("oh,bhwc->bowc", mh, x)
+    if ow != w:
+        mw = jnp.asarray(_interp_mat_ac(w, ow), dt)
+        x = jnp.einsum("ow,bhwc->bhoc", mw, x)
+    return x
 
 
 class ResidualConvUnit(nn.Module):
@@ -60,17 +99,44 @@ class ResidualConvUnit(nn.Module):
         return x + y
 
 
+class PromptLayer(nn.Module):
+    """PromptDA's per-fusion-level depth-prompt branch: conv-relu-conv-
+    relu-conv over the (normalized, resized) prompt depth, summed into
+    the fusion feature (HF PromptDepthAnythingLayer op order)."""
+    cfg: DPTConfig
+
+    @nn.compact
+    def __call__(self, p):
+        c = self.cfg
+        p = nn.Conv(c.features, (3, 3), dtype=c.compute_dtype,
+                    name="conv1")(p)
+        p = nn.relu(p)
+        p = nn.Conv(c.features, (3, 3), dtype=c.compute_dtype,
+                    name="conv2")(p)
+        p = nn.relu(p)
+        return nn.Conv(c.features, (3, 3), dtype=c.compute_dtype,
+                       name="conv3")(p)
+
+
 class FeatureFusion(nn.Module):
     cfg: DPTConfig
 
     @nn.compact
-    def __call__(self, x, skip=None, out_hw=None):
+    def __call__(self, x, skip=None, out_hw=None, prompt=None):
         c = self.cfg
         if skip is not None:
             x = x + ResidualConvUnit(c, name="rcu1")(skip)
         x = ResidualConvUnit(c, name="rcu2")(x)
+        if prompt is not None:
+            # prompt: (B, h, w, 1) normalized depth; torch resizes with
+            # align_corners=False (= half-pixel, no antialias)
+            p = jax.image.resize(
+                prompt, (x.shape[0], x.shape[1], x.shape[2], 1),
+                "bilinear", antialias=False).astype(x.dtype)
+            x = x + PromptLayer(c, name="prompt")(p)
         if out_hw is not None:
-            x = _resize(x, out_hw)
+            x = (resize_align_corners(x, out_hw) if c.torch_resize
+                 else _resize(x, out_hw))
         return nn.Conv(c.features, (1, 1), dtype=c.compute_dtype,
                        name="project")(x)
 
@@ -83,7 +149,7 @@ class DPTHead(nn.Module):
     patch_size: int = 14
 
     @nn.compact
-    def __call__(self, feats):
+    def __call__(self, feats, prompt=None):
         c = self.cfg
         b, gh, gw, _ = feats[0].shape
         # Reassemble: project each level and move to its pyramid scale
@@ -105,7 +171,11 @@ class DPTHead(nn.Module):
                                          dtype=c.compute_dtype,
                                          name="resize1")(y)
                 elif i == 3:
+                    # explicit (1,1) padding: torch Conv2d(k3,s2,p=1);
+                    # flax SAME with stride 2 would pad (0,1) — off by
+                    # one sample grid vs the checkpoint
                     y = nn.Conv(ch, (3, 3), strides=(2, 2),
+                                padding=((1, 1), (1, 1)),
                                 dtype=c.compute_dtype, name="resize3")(y)
             else:
                 hw = (int(gh * scales[i]), int(gw * scales[i]))
@@ -114,27 +184,35 @@ class DPTHead(nn.Module):
                         use_bias=False, name=f"scratch{i}")(y)
             pyr.append(y)
 
-        # Fuse coarse -> fine.
+        # Fuse coarse -> fine. In torch-exact mode the final fusion also
+        # upsamples x2 (original refinenet1 is called without `size` ->
+        # scale_factor=2), so head convs run at 8x the token grid.
         x = FeatureFusion(c, name="fusion3")(
-            pyr[3], out_hw=pyr[2].shape[1:3])
+            pyr[3], out_hw=pyr[2].shape[1:3], prompt=prompt)
         x = FeatureFusion(c, name="fusion2")(
-            x, skip=pyr[2], out_hw=pyr[1].shape[1:3])
+            x, skip=pyr[2], out_hw=pyr[1].shape[1:3], prompt=prompt)
         x = FeatureFusion(c, name="fusion1")(
-            x, skip=pyr[1], out_hw=pyr[0].shape[1:3])
-        x = FeatureFusion(c, name="fusion0")(x, skip=pyr[0])
+            x, skip=pyr[1], out_hw=pyr[0].shape[1:3], prompt=prompt)
+        last_hw = (pyr[0].shape[1] * 2, pyr[0].shape[2] * 2) \
+            if c.torch_resize else None
+        x = FeatureFusion(c, name="fusion0")(x, skip=pyr[0],
+                                             out_hw=last_hw, prompt=prompt)
 
         x = nn.Conv(c.features // 2, (3, 3), dtype=c.compute_dtype,
                     name="head_conv1")(x)
         full_hw = (gh * self.patch_size, gw * self.patch_size)
+        up = resize_align_corners if c.torch_resize else _resize
         if c.fast_head:
             x = nn.Conv(32, (3, 3), dtype=c.compute_dtype,
                         name="head_conv2")(x)
             x = nn.relu(x)
-            x = _resize(x, full_hw)
+            x = up(x, full_hw)
         else:
-            x = _resize(x, full_hw)
+            x = up(x, full_hw)
             x = nn.Conv(32, (3, 3), dtype=c.compute_dtype,
                         name="head_conv2")(x)
             x = nn.relu(x)
         x = nn.Conv(1, (1, 1), dtype=jnp.float32, name="head_conv3")(x)
+        if c.head_act == "sigmoid":
+            return nn.sigmoid(x)
         return nn.relu(x)

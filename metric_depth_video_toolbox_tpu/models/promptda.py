@@ -2,9 +2,16 @@
 
 Fills the role of depth-anything/prompt-depth-anything in the reference
 (upscale_depth_promptda.py: low-res metric depth + full-res RGB ->
-full-res metric depth, 14-multiple padding). Architecture: the DA ViT+DPT
-stack with the low-res depth *prompt* injected into the decoder features
-(a conv branch over the upsampled prompt, summed into each fusion level).
+full-res metric depth, 14-multiple padding). Architecture mirrors the
+real PromptDA op order (verified numerically against the HF torch
+implementation in tests/test_weight_exact.py):
+
+- prompt depth is min/max-normalized per item,
+- every DPT fusion level adds a conv-relu-conv-relu-conv branch over the
+  (resized) normalized prompt,
+- sigmoid head output is de-normalized back to the prompt's metric range.
+
+Checkpoints convert via ``models.convert.convert_promptda_hf``.
 """
 
 from __future__ import annotations
@@ -12,7 +19,6 @@ from __future__ import annotations
 import dataclasses
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from metric_depth_video_toolbox_tpu.models import dpt as dpt_mod
@@ -22,11 +28,13 @@ from metric_depth_video_toolbox_tpu.models import vit as vit_mod
 @dataclasses.dataclass(frozen=True)
 class PromptDAConfig:
     vit: vit_mod.ViTConfig = vit_mod.VIT_L
-    dpt: dpt_mod.DPTConfig = dpt_mod.DPTConfig()
-    max_depth: float = 100.0
+    dpt: dpt_mod.DPTConfig = dataclasses.field(
+        default_factory=lambda: dpt_mod.DPTConfig(head_act="sigmoid"))
 
 
-PROMPT_TINY = PromptDAConfig(vit=vit_mod.VIT_TINY, dpt=dpt_mod.DPT_TINY)
+PROMPT_TINY = PromptDAConfig(
+    vit=vit_mod.VIT_TINY,
+    dpt=dataclasses.replace(dpt_mod.DPT_TINY, head_act="sigmoid"))
 
 
 class PromptDA(nn.Module):
@@ -34,25 +42,24 @@ class PromptDA(nn.Module):
 
     @nn.compact
     def __call__(self, images, prompt_depth):
-        """images (B, H, W, 3) [0,1]; prompt_depth (B, h, w) metric.
-        Returns (B, H, W) metric depth."""
+        """images (B, H, W, 3) [0,1]; prompt_depth (B, h, w) metric
+        (any resolution; typically 256x192 per the reference
+        upscale_depth_promptda.py:62-81). Returns (B, H, W) metric
+        depth in the prompt's range."""
         c = self.cfg
         feats, _ = vit_mod.ViT(c.vit, name="backbone")(images)
-        b, gh, gw, d = feats[0].shape
 
-        # prompt branch: log-scaled depth -> conv features per level
-        pd = jnp.log1p(jnp.maximum(prompt_depth, 0.0))[..., None]
-        injected = []
-        for i, f in enumerate(feats):
-            hw = f.shape[1:3]
-            p = jax.image.resize(pd, (b,) + hw + (1,), "bilinear")
-            pf = nn.Conv(d, (3, 3), dtype=f.dtype,
-                         name=f"prompt{i}")(p.astype(f.dtype))
-            injected.append(f + pf)
+        # per-item min/max normalization of the prompt (HF op order)
+        pd = prompt_depth[..., None].astype(jnp.float32)
+        dmin = jnp.min(pd, axis=(1, 2, 3), keepdims=True)
+        dmax = jnp.max(pd, axis=(1, 2, 3), keepdims=True)
+        pd_norm = (pd - dmin) / jnp.maximum(dmax - dmin, 1e-6)
 
         out = dpt_mod.DPTHead(c.dpt, patch_size=c.vit.patch_size,
-                              name="head")(injected)
-        return jnp.clip(out[..., 0].astype(jnp.float32), 0.0, c.max_depth)
+                              name="head")(feats, prompt=pd_norm)
+        out = out[..., 0].astype(jnp.float32)
+        # sigmoid head in [0,1] -> denormalize to the prompt range
+        return out * (dmax - dmin)[..., 0] + dmin[..., 0]
 
 
 def pad_to_multiple_of(x, multiple, axes=(1, 2)):

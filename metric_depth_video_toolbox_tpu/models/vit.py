@@ -149,7 +149,10 @@ class Mlp(nn.Module):
         c = self.cfg
         hidden = int(c.embed_dim * c.mlp_ratio)
         x = nn.Dense(hidden, dtype=c.compute_dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        # exact (erf) GELU: DINOv2 uses torch nn.GELU's default, and the
+        # tanh approximation diverges ~1e-3 per layer from converted
+        # checkpoints (weight-exactness tested vs HF torch Dinov2)
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(c.embed_dim, dtype=c.compute_dtype, name="fc2")(x)
 
 

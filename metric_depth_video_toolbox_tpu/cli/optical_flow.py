@@ -53,7 +53,7 @@ def run(args):
 
     @jax.jit
     def step(p, a, b):
-        flow = jax.vmap(lambda x, y: model.apply(p, x, y))(a, b)
+        flow = model.apply(p, a, b)  # batch-native
         return jax.vmap(raft.flow_to_rgb)(flow)
 
     out_path = args.color_video + "_flow.mkv"

@@ -163,6 +163,10 @@ def convert_dpt_head(state_dict, cfg):
     """
     sd = {k.replace("depth_head.", ""): v for k, v in state_dict.items()
           if k.startswith("depth_head.")} or dict(state_dict)
+    return _dpt_head_from(sd, cfg)
+
+
+def _dpt_head_from(sd, cfg):
     p = {}
     for i in range(4):
         p[f"project{i}"] = conv(sd, f"projects.{i}")
@@ -311,6 +315,145 @@ def convert_da2(state_dict, vit_cfg):
     }}
 
 
+def _motion_module(sd, prefix, n_blocks=1, n_attn=2):
+    """AnimateDiff TemporalTransformer3DModel state dict -> our
+    TemporalModule params (models.video_depth)."""
+    tt = prefix + ".temporal_transformer"
+    p = {"norm": {"scale": _t(sd[tt + ".norm.weight"]),
+                  "bias": _t(sd[tt + ".norm.bias"])},
+         "proj_in": linear(sd, tt + ".proj_in"),
+         "proj_out": linear(sd, tt + ".proj_out")}
+    for j in range(n_blocks):
+        tb = f"{tt}.transformer_blocks.{j}"
+        blk = {}
+        for k in range(n_attn):
+            ab = f"{tb}.attention_blocks.{k}"
+            blk[f"norm{k}"] = layernorm(sd, f"{tb}.norms.{k}")
+            blk[f"attn{k}"] = {
+                "to_q": linear(sd, ab + ".to_q"),
+                "to_k": linear(sd, ab + ".to_k"),
+                "to_v": linear(sd, ab + ".to_v"),
+                "to_out": linear(sd, ab + ".to_out.0"),
+            }
+        blk["ff_norm"] = layernorm(sd, tb + ".ff_norm")
+        blk["geglu"] = linear(sd, tb + ".ff.net.0.proj")
+        blk["ff_out"] = linear(sd, tb + ".ff.net.2")
+        p[f"block{j}"] = blk
+    return p
+
+
+def convert_vda(state_dict, cfg):
+    """Video-Depth-Anything checkpoint (video_depth_anything_vit{s,l}
+    .pth, reference download_weights.py:80-133) -> our
+    VideoDepthAnything params. ``cfg`` is a VideoDepthConfig; use
+    dpt torch_resize=True, fast_head=False for weight-exact decode.
+
+    Upstream layout: pretrained.* (DINOv2) + head.* (DPT with
+    head.motion_modules.{0..3}.temporal_transformer.*; head-level
+    forward equivalence proven in tests/test_weight_exact_vda.py)."""
+    head_sd = {k[len("head."):]: v for k, v in state_dict.items()
+               if k.startswith("head.")}
+    head = _dpt_head_from(head_sd, cfg.vit)
+    for i in range(4):
+        head[f"motion{i}"] = _motion_module(
+            head_sd, f"motion_modules.{i}", n_blocks=cfg.temporal_layers)
+    return {"params": {
+        "backbone": convert_dinov2_vit(state_dict, cfg.vit),
+        "head": head,
+    }}
+
+
+def batchnorm(sd, prefix):
+    """torch BatchNorm2d (eval) -> our EvalBatchNorm params (running
+    stats become converted params; inference-only framework)."""
+    return {"scale": _t(sd[prefix + ".weight"]),
+            "bias": _t(sd[prefix + ".bias"]),
+            "mean": _t(sd[prefix + ".running_mean"]),
+            "var": _t(sd[prefix + ".running_var"])}
+
+
+def convert_raft(state_dict, cfg=None):
+    """torchvision ``raft_large`` checkpoint -> our models.raft.RAFT
+    params (forward equivalence proven in tests/test_weight_exact_raft
+    against a torch re-implementation of the torchvision graph).
+
+    torchvision layout: feature_encoder/context_encoder (convnormrelu
+    stem, layer{1,2,3} of 2 ResidualBlocks, 1x1 conv),
+    update_block.{motion_encoder, recurrent_block.convgru{1,2},
+    flow_head}, mask_predictor."""
+    sd = state_dict
+
+    def encoder(te, batch):
+        p = {"stem": {"conv": conv(sd, f"{te}.convnormrelu.0")},
+             "proj": conv(sd, f"{te}.conv")}
+        if batch:
+            p["stem"]["norm"] = batchnorm(sd, f"{te}.convnormrelu.1")
+        for li in (1, 2, 3):
+            for bi in (0, 1):
+                b = f"{te}.layer{li}.{bi}"
+                blk = {"convnormrelu1": {"conv": conv(sd, b + ".convnormrelu1.0")},
+                       "convnormrelu2": {"conv": conv(sd, b + ".convnormrelu2.0")}}
+                if batch:
+                    blk["convnormrelu1"]["norm"] = batchnorm(
+                        sd, b + ".convnormrelu1.1")
+                    blk["convnormrelu2"]["norm"] = batchnorm(
+                        sd, b + ".convnormrelu2.1")
+                if b + ".downsample.0.0.weight" in sd:
+                    blk["down_conv"] = conv(sd, b + ".downsample.0.0")
+                    if batch:
+                        blk["down_norm"] = batchnorm(
+                            sd, b + ".downsample.0.1")
+                p[f"layer{li}_{bi}"] = blk
+        return p
+
+    p = {"fnet": encoder("feature_encoder", batch=False),
+         "cnet": encoder("context_encoder", batch=True)}
+    me = "update_block.motion_encoder"
+    p["motion"] = {n: {"conv": conv(sd, f"{me}.{n}.0")}
+                   for n in ("convcorr1", "convcorr2", "convflow1",
+                             "convflow2", "conv")}
+    for g in (1, 2):
+        p[f"gru{g}"] = {n: conv(
+            sd, f"update_block.recurrent_block.convgru{g}.{n}")
+            for n in ("convz", "convr", "convq")}
+    p["flow_head1"] = conv(sd, "update_block.flow_head.conv1")
+    p["flow_head2"] = conv(sd, "update_block.flow_head.conv2")
+    p["mask_conv1"] = {"conv": conv(sd, "mask_predictor.convrelu.0")}
+    p["mask_conv2"] = conv(sd, "mask_predictor.conv")
+    return {"params": p}
+
+
+def convert_u2net(state_dict, cfg=None):
+    """Original u2net/u2netp torch checkpoint -> our models.segmentation
+    U2Net params (forward equivalence proven in
+    tests/test_weight_exact_u2net.py).
+
+    Original layout: stage{1..6}[d].rebnconv{in,1..7,1d..6d}.
+    {conv_s1, bn_s1}, side{1..6}, outconv."""
+    sd = state_dict
+
+    def rebn(prefix):
+        return {"conv": conv(sd, prefix + ".conv_s1"),
+                "bn": batchnorm(sd, prefix + ".bn_s1")}
+
+    p = {}
+    stage_names = [f"stage{i}" for i in range(1, 7)] + \
+        [f"stage{i}d" for i in range(5, 0, -1)]
+    for st in stage_names:
+        blk = {}
+        for key in list(sd):
+            if not key.startswith(st + ".rebnconv"):
+                continue
+            sub = key[len(st) + 1:].split(".")[0]  # e.g. rebnconv3d
+            if sub not in blk:
+                blk[sub] = rebn(f"{st}.{sub}")
+        p[st] = blk
+    for i in range(1, 7):
+        p[f"side{i}"] = conv(sd, f"side{i}")
+    p["outconv"] = conv(sd, "outconv")
+    return {"params": p}
+
+
 def convert_torch_file(path, kind, cfg=None):
     """Load a torch checkpoint file (CPU) and convert by ``kind``."""
     import torch
@@ -322,6 +465,16 @@ def convert_torch_file(path, kind, cfg=None):
         return convert_dinov2_vit(sd, cfg)
     if kind == "da2":
         return convert_da2(sd, cfg)
+    if kind == "da2_hf":
+        return convert_da2_hf(sd, cfg)
+    if kind == "promptda_hf":
+        return convert_promptda_hf(sd, cfg)
+    if kind == "raft":
+        return convert_raft(sd, cfg)
+    if kind == "u2net":
+        return convert_u2net(sd, cfg)
+    if kind in ("vda", "video_depth"):
+        return convert_vda(sd, cfg)
     raise ValueError(f"unknown checkpoint kind: {kind}")
 
 

@@ -1,16 +1,33 @@
-"""Temporally-consistent video depth (VDA-class), Flax.
+"""Temporally-consistent video depth (Video-Depth-Anything), Flax.
 
 Fills the role of Video-Depth-Anything in the reference
 (video_metric_convert.py:97 ``infer_video_depth``: 32-frame windows
 processed jointly, later windows scale/shift-aligned to the first).
-Architecture: shared ViT per frame + temporal attention blocks mixing
-tokens across the window at the coarse feature levels + DPT head per
-frame. The window axis is a first-class batch axis — on a device mesh the
-window shards over 'data' and the temporal attention becomes the only
-cross-frame (and hence cross-device) op, riding ICI.
+
+The graph mirrors the upstream VDA layout (video_depth_anything/
+dpt_temporal.py + motion_module.py) so the published checkpoints
+(video_depth_anything_vits/vitl.pth, reference download_weights.py)
+convert weight-exact via ``models.convert.convert_vda``:
+
+- DINOv2 ViT backbone per frame (shared with DA-V2),
+- DPTHeadTemporal: the DA-V2 DPT head with FOUR AnimateDiff-style
+  temporal transformer ("motion") modules inserted at layer_3, layer_4
+  (post-resize, pre-scratch) and path_4, path_3 (post-refinenet4/3) —
+  in_channels out_channels[2], out_channels[3], features, features,
+- each motion module: GroupNorm -> proj_in -> N x [2 temporal
+  self-attention blocks (sinusoidal positional encoding over the frame
+  axis) + GEGLU feed-forward] -> proj_out -> residual.
+
+Head-level forward equivalence is proven against a torch
+re-implementation of this op order in tests/test_weight_exact_vda.py.
+
+TPU mapping: the window axis is a first-class batch axis — on a device
+mesh the window shards over 'data'; the temporal attention (sequence
+length = window = 32 per spatial token) is the only cross-frame (and
+hence cross-device) op and rides ICI.
 
 Long videos: ``infer_video_depth`` slides a window with overlap and
-stitches scale/shift on the overlap (reference behavior, and the same
+stitches scale/shift on the overlap (reference behavior, the same
 mechanism DA3/DepthCrafter use — SURVEY.md section 5 'long-context').
 """
 
@@ -33,35 +50,183 @@ from metric_depth_video_toolbox_tpu.ops import solvers
 class VideoDepthConfig:
     vit: vit_mod.ViTConfig = vit_mod.VIT_L
     dpt: dpt_mod.DPTConfig = dpt_mod.DPTConfig()
-    temporal_layers: int = 2
+    temporal_heads: int = 8
+    # transformer blocks per motion module (VDA ships 1)
+    temporal_layers: int = 1
+    norm_groups: int = 32
+    pe_max_len: int = 4096
     window: int = 32
     overlap: int = 8
 
 
 TINY = VideoDepthConfig(vit=vit_mod.VIT_TINY, dpt=dpt_mod.DPT_TINY,
-                        temporal_layers=1, window=8, overlap=2)
+                        temporal_heads=2, temporal_layers=1,
+                        norm_groups=4, window=8, overlap=2)
 
 
-class TemporalBlock(nn.Module):
-    """Attention over the time axis, independently per spatial token."""
+def _sinusoidal_pe(t, d):
+    """AnimateDiff PositionalEncoding table (t, d): interleaved
+    sin/cos of pos / 10000^(2i/d)."""
+    pos = np.arange(t, dtype=np.float32)[:, None]
+    div = np.exp(np.arange(0, d, 2, dtype=np.float32)
+                 * (-np.log(10000.0) / d))
+    pe = np.zeros((t, d), np.float32)
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div[: (d + 1) // 2])
+    return pe
+
+
+class TemporalAttention(nn.Module):
+    """VersatileAttention(Temporal_Self): per spatial token, attend
+    across the frame axis with sinusoidal position encoding added
+    before qkv (diffusers CrossAttention layout: to_q/k/v bias-free,
+    to_out projection)."""
     dim: int
     heads: int
-    dtype: jnp.dtype = jnp.bfloat16
+    dtype: jnp.dtype
 
     @nn.compact
     def __call__(self, x):
-        """x: (T, N, D) — attend across T for each token n."""
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
-        y = y.transpose(1, 0, 2)  # (N, T, D)
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, dtype=self.dtype, name="attn")(y, y)
+        """x: (N, T, C) — N spatial tokens, T frames."""
+        n, t, c = x.shape
+        x = x + jnp.asarray(_sinusoidal_pe(t, c), x.dtype)
+        hd = c // self.heads
+        q = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_v")(x)
+
+        def heads(y):
+            return y.reshape(n, t, self.heads, hd)
+        out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
+        out = out.reshape(n, t, c)
+        return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+
+
+class TemporalTransformerBlock(nn.Module):
+    """2x [LN -> temporal self-attention -> residual] then
+    LN -> GEGLU feed-forward -> residual (AnimateDiff block)."""
+    dim: int
+    heads: int
+    dtype: jnp.dtype
+    n_attn: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.n_attn):
+            y = nn.LayerNorm(dtype=jnp.float32, name=f"norm{i}")(x)
+            x = x + TemporalAttention(self.dim, self.heads, self.dtype,
+                                      name=f"attn{i}")(y)
+        y = nn.LayerNorm(dtype=jnp.float32, name="ff_norm")(x)
+        # GEGLU: proj to 2*4*dim, hidden * gelu(gate)
+        y = nn.Dense(self.dim * 8, dtype=self.dtype, name="geglu")(y)
+        h, gate = jnp.split(y, 2, axis=-1)
+        y = h * nn.gelu(gate, approximate=False)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="ff_out")(y)
+        return x + y
+
+
+class TemporalModule(nn.Module):
+    """TemporalTransformer3DModel: GroupNorm -> proj_in -> blocks ->
+    proj_out -> residual, applied per frame stack (T, H, W, C)."""
+    dim: int
+    heads: int
+    layers: int
+    groups: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        t, h, w, c = x.shape
+        residual = x
+        y = nn.GroupNorm(num_groups=min(self.groups, c),
+                         dtype=jnp.float32, name="norm")(x)
+        y = y.reshape(t, h * w, c)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="proj_in")(y)
+        # temporal tokens: (H*W, T, C)
         y = y.transpose(1, 0, 2)
-        x = x + y
-        z = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
-        z = nn.Dense(self.dim * 2, dtype=self.dtype, name="fc1")(z)
-        z = nn.gelu(z)
-        z = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(z)
-        return x + z
+        for i in range(self.layers):
+            y = TemporalTransformerBlock(self.dim, self.heads, self.dtype,
+                                         name=f"block{i}")(y)
+        y = y.transpose(1, 0, 2)
+        y = nn.Dense(c, dtype=self.dtype, name="proj_out")(y)
+        return y.reshape(t, h, w, c) + residual
+
+
+class DPTHeadTemporal(nn.Module):
+    """DA-V2 DPT head + 4 motion modules (upstream dpt_temporal.py):
+    motion 0/1 on the two coarsest reassembled levels, motion 2/3 on the
+    outputs of the two coarsest fusions."""
+    cfg: VideoDepthConfig
+
+    @nn.compact
+    def __call__(self, feats):
+        c = self.cfg
+        d = c.dpt
+        dt = d.compute_dtype
+        t, gh, gw, _ = feats[0].shape
+        patch = c.vit.patch_size
+
+        def motion(i, dim, x):
+            return TemporalModule(dim, c.temporal_heads, c.temporal_layers,
+                                  c.norm_groups, dt, name=f"motion{i}")(x)
+
+        scales = (4, 2, 1, 0.5)
+        pyr = []
+        for i, (f, ch) in enumerate(zip(feats, d.out_channels)):
+            y = nn.Conv(ch, (1, 1), dtype=dt, name=f"project{i}")(f)
+            if d.torch_resize:
+                if i == 0:
+                    y = nn.ConvTranspose(ch, (4, 4), strides=(4, 4),
+                                         dtype=dt, name="resize0")(y)
+                elif i == 1:
+                    y = nn.ConvTranspose(ch, (2, 2), strides=(2, 2),
+                                         dtype=dt, name="resize1")(y)
+                elif i == 3:
+                    y = nn.Conv(ch, (3, 3), strides=(2, 2),
+                                padding=((1, 1), (1, 1)), dtype=dt,
+                                name="resize3")(y)
+            else:
+                hw = (int(gh * scales[i]), int(gw * scales[i]))
+                y = jax.image.resize(
+                    y, (t,) + hw + (y.shape[-1],), "bilinear").astype(dt)
+            if i == 2:
+                y = motion(0, d.out_channels[2], y)
+            elif i == 3:
+                y = motion(1, d.out_channels[3], y)
+            y = nn.Conv(d.features, (3, 3), dtype=dt, use_bias=False,
+                        name=f"scratch{i}")(y)
+            pyr.append(y)
+
+        x = dpt_mod.FeatureFusion(d, name="fusion3")(
+            pyr[3], out_hw=pyr[2].shape[1:3])
+        x = motion(2, d.features, x)
+        x = dpt_mod.FeatureFusion(d, name="fusion2")(
+            x, skip=pyr[2], out_hw=pyr[1].shape[1:3])
+        x = motion(3, d.features, x)
+        x = dpt_mod.FeatureFusion(d, name="fusion1")(
+            x, skip=pyr[1], out_hw=pyr[0].shape[1:3])
+        last_hw = (pyr[0].shape[1] * 2, pyr[0].shape[2] * 2) \
+            if d.torch_resize else None
+        x = dpt_mod.FeatureFusion(d, name="fusion0")(x, skip=pyr[0],
+                                                     out_hw=last_hw)
+
+        x = nn.Conv(d.features // 2, (3, 3), dtype=dt,
+                    name="head_conv1")(x)
+        full_hw = (gh * patch, gw * patch)
+        up = dpt_mod.resize_align_corners if d.torch_resize \
+            else dpt_mod._resize
+        if d.fast_head:
+            x = nn.Conv(32, (3, 3), dtype=dt, name="head_conv2")(x)
+            x = nn.relu(x)
+            x = up(x, full_hw)
+        else:
+            x = up(x, full_hw)
+            x = nn.Conv(32, (3, 3), dtype=dt, name="head_conv2")(x)
+            x = nn.relu(x)
+        x = nn.Conv(1, (1, 1), dtype=jnp.float32, name="head_conv3")(x)
+        if d.head_act == "sigmoid":
+            return nn.sigmoid(x)
+        return nn.relu(x)
 
 
 class VideoDepthAnything(nn.Module):
@@ -69,20 +234,11 @@ class VideoDepthAnything(nn.Module):
 
     @nn.compact
     def __call__(self, frames):
-        """frames: (T, H, W, 3) in [0,1] -> (T, H, W) relative disparity."""
+        """frames: (T, H, W, 3) in [0,1] -> (T, H, W) relative
+        disparity (or sigmoid metric when dpt.head_act='sigmoid')."""
         c = self.cfg
         feats, _ = vit_mod.ViT(c.vit, name="backbone")(frames)
-        # temporal mixing on the two coarsest levels
-        t, gh, gw, d = feats[-1].shape
-        dt = c.vit.compute_dtype
-        for lvl in (-1, -2):
-            f = feats[lvl].reshape(t, gh * gw, d).astype(dt)
-            for i in range(c.temporal_layers):
-                f = TemporalBlock(d, c.vit.num_heads, dt,
-                                  name=f"temporal{lvl}_{i}")(f)
-            feats[lvl] = f.reshape(t, gh, gw, d)
-        out = dpt_mod.DPTHead(c.dpt, patch_size=c.vit.patch_size,
-                              name="head")(feats)
+        out = DPTHeadTemporal(c, name="head")(feats)
         return out[..., 0].astype(jnp.float32)
 
 

@@ -78,7 +78,10 @@ class VDAEngine:
             dpt_cfg = dataclasses.replace(dpt_cfg, dtype="float32")
         self.cfg = vd.VideoDepthConfig(
             vit=vit_cfg, dpt=dpt_cfg,
-            temporal_layers=1 if size == "vitt" else 2,
+            # upstream VDA ships 1 transformer block per motion module
+            temporal_layers=1,
+            temporal_heads=2 if size == "vitt" else 8,
+            norm_groups=4 if size == "vitt" else 32,
             window=window, overlap=min(overlap, window - 1))
         self.model = vd.VideoDepthAnything(self.cfg)
         self.anchor_cfg = da.preset(size, metric=True, max_depth=20.0)

@@ -32,7 +32,7 @@ def _base_parser(desc, require_fov=False):
     return p
 
 
-def _run_single_frame(args, save_xfovs):
+def _run_single_frame(args, save_xfovs, variant="da"):
     from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
     params = None
     if args.checkpoint:
@@ -42,34 +42,42 @@ def _run_single_frame(args, save_xfovs):
         "single_frame", args.color_video, max_depth=args.max_depth,
         max_frames=args.max_frames, size=args.model_size,
         input_size=args.input_size, params=params, xfov=args.xfov,
-        save_xfovs=save_xfovs)
+        yfov=args.yfov, save_xfovs=save_xfovs, variant=variant)
     for o in outs:
         print(f"depth video saved: {o}")
     return outs
 
 
 def unidepth_main(argv=None):
+    """K-conditioned inference: --xfov is mandatory and the camera rays
+    condition the backbone (reference unidepth_video.py:70-74)."""
     args = _base_parser("UniDepth-class per-frame metric depth "
                         "(FOV required).", require_fov=True).parse_args(argv)
-    return _run_single_frame(args, save_xfovs=False)
+    return _run_single_frame(args, save_xfovs=False, variant="unidepth")
 
 
 def unik3d_main(argv=None):
+    """Per-frame focal re-estimated from the unprojected 3D points
+    (reference unik3d_video.py:22-101) -> *_xfovs.json."""
     args = _base_parser("UniK3D-class per-frame metric depth; estimates "
                         "per-frame FOV -> *_xfovs.json.").parse_args(argv)
-    return _run_single_frame(args, save_xfovs=True)
+    return _run_single_frame(args, save_xfovs=True, variant="unik3d")
 
 
 def moge_main(argv=None):
+    """NaN-sky -> max_depth (reference moge_video.py:171); optional
+    --xfov conditions the model, else the FOV head estimates it."""
     args = _base_parser("MoGe-class per-frame depth with optional fov_x; "
                         "writes xfovs.").parse_args(argv)
-    return _run_single_frame(args, save_xfovs=True)
+    return _run_single_frame(args, save_xfovs=True, variant="moge")
 
 
 def depthpro_main(argv=None):
+    """The model estimates its own focal length per frame (reference
+    depthpro_video.py:154-159 focallength_px) -> *_xfovs.json."""
     args = _base_parser("DepthPro-class per-frame metric depth (estimates "
                         "focal length).").parse_args(argv)
-    return _run_single_frame(args, save_xfovs=True)
+    return _run_single_frame(args, save_xfovs=True, variant="depthpro")
 
 
 def videoanythingmetric_main(argv=None):

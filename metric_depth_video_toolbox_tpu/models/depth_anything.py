@@ -33,6 +33,14 @@ class DepthAnythingConfig:
     dpt: dpt_mod.DPTConfig = dpt_mod.DPTConfig()
     metric: bool = True
     max_depth: float = 20.0  # hypersim-metric convention
+    # UniDepth-class K-conditioned inference: per-patch camera-ray
+    # directions embedded and added to the patch tokens (reference
+    # unidepth_video.py:70-74 passes K into model.infer)
+    k_condition: bool = False
+    # DepthPro-class focal estimation: a small head on the cls token
+    # predicts per-image horizontal FOV (reference depthpro_video.py:
+    # 154-159 reads focallength_px from the model output)
+    fov_head: bool = False
 
 
 TINY = DepthAnythingConfig(vit=vit_mod.VIT_TINY, dpt=dpt_mod.DPT_TINY,
@@ -50,21 +58,49 @@ class DepthAnything(nn.Module):
     cfg: DepthAnythingConfig
 
     @nn.compact
-    def __call__(self, images):
+    def __call__(self, images, rays=None):
         """images: (B, H, W, 3) in [0,1], H/W multiples of patch size.
-        Returns (B, H, W) float32 — metric depth in meters (metric mode)
-        or relative disparity (relative mode)."""
-        feats, _ = vit_mod.ViT(self.cfg.vit, name="backbone")(images)
-        out = dpt_mod.DPTHead(self.cfg.dpt,
-                              patch_size=self.cfg.vit.patch_size,
+        ``rays``: (B, gh, gw, 3) unit camera-ray directions at patch
+        centers (required when cfg.k_condition). Returns (B, H, W)
+        float32 depth — or (depth, xfov_deg (B,)) when cfg.fov_head."""
+        c = self.cfg
+        cond = None
+        if c.k_condition and rays is not None:
+            cond = nn.Dense(c.vit.embed_dim, dtype=c.vit.compute_dtype,
+                            name="ray_embed")(
+                rays.astype(c.vit.compute_dtype))
+        feats, cls = vit_mod.ViT(c.vit, name="backbone")(images, cond)
+        out = dpt_mod.DPTHead(c.dpt, patch_size=c.vit.patch_size,
                               name="head")(feats)
         out = out[..., 0].astype(jnp.float32)
-        if self.cfg.metric:
-            if self.cfg.dpt.head_act == "sigmoid":
+        if c.metric:
+            if c.dpt.head_act == "sigmoid":
                 # DA-V2 metric convention: sigmoid head * max_depth
-                return out * self.cfg.max_depth
-            return jnp.clip(out, 0.0, self.cfg.max_depth)
+                out = out * c.max_depth
+            else:
+                out = jnp.clip(out, 0.0, c.max_depth)
+        if c.fov_head:
+            h = nn.Dense(64, dtype=c.vit.compute_dtype,
+                         name="fov_fc")(cls.astype(c.vit.compute_dtype))
+            h = nn.gelu(h)
+            f = nn.Dense(1, dtype=jnp.float32, name="fov_out")(h)
+            xfov = 25.0 + 90.0 * nn.sigmoid(f[..., 0])  # 25..115 deg
+            return out, xfov
         return out
+
+
+def patch_center_rays(xfov_deg, gh, gw, yfov_deg=None):
+    """Unit camera-ray directions at patch centers for K-conditioned
+    inference (UniDepth-class): (gh, gw, 3) float32."""
+    import numpy as np
+    xf = np.tan(np.radians(xfov_deg) / 2.0)
+    yf = np.tan(np.radians(yfov_deg) / 2.0) if yfov_deg else xf * gh / gw
+    u = (np.arange(gw) + 0.5) / gw * 2.0 - 1.0
+    v = (np.arange(gh) + 0.5) / gh * 2.0 - 1.0
+    xx, yy = np.meshgrid(u * xf, v * yf)
+    rays = np.stack([xx, yy, np.ones_like(xx)], axis=-1)
+    return (rays / np.linalg.norm(rays, axis=-1, keepdims=True)
+            ).astype(np.float32)
 
 
 def working_resolution(h, w, input_size, patch):

@@ -190,8 +190,10 @@ class ViT(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, images):
-        """images: (B, H, W, 3) float in [0, 1]; H, W % patch_size == 0."""
+    def __call__(self, images, cond=None):
+        """images: (B, H, W, 3) float in [0, 1]; H, W % patch_size == 0.
+        ``cond``: optional (B, gh, gw, D) additive patch-token
+        conditioning (e.g. UniDepth-style camera-ray embeddings)."""
         c = self.cfg
         b, h, w, _ = images.shape
         p = c.patch_size
@@ -204,6 +206,8 @@ class ViT(nn.Module):
         x = nn.Conv(c.embed_dim, (p, p), strides=(p, p),
                     dtype=c.compute_dtype, name="patch_embed")(x)
         x = x.reshape(b, gh * gw, c.embed_dim)
+        if cond is not None:
+            x = x + cond.reshape(b, gh * gw, c.embed_dim).astype(x.dtype)
 
         cls = self.param("cls_token", nn.initializers.zeros,
                          (1, 1, c.embed_dim))

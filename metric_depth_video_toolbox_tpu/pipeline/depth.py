@@ -164,7 +164,19 @@ def run_vda(color_video, max_depth=100.0, max_frames=-1, engine=None,
 class SingleFrameEngine:
     """Per-frame metric depth engines (UniDepth/UniK3D/MoGe/DepthPro-class
     wrappers, reference unidepth_video.py etc.): batched frame inference
-    with optional per-frame FOV estimation emitted as a sidecar.
+    with the per-engine distinguishing behaviors:
+
+      variant='unidepth'  K-conditioned inference (ray embeddings from
+                          the user FOV; reference unidepth_video.py:70-74
+                          requires --xfov and passes K into the model)
+      variant='unik3d'    per-frame focal re-estimated from the
+                          unprojected 3D points (unik3d_video.py:22-101)
+      variant='moge'      NaN/sky -> max_depth (moge_video.py:171),
+                          optional fov_x conditioning, model-estimated
+                          FOV sidecar otherwise
+      variant='depthpro'  focal head: the model itself estimates
+                          per-frame xfov (depthpro_video.py:154-159)
+      variant='da'        plain DA-class metric inference (default)
 
     With ``data_parallel=True`` (default) and more than one device the
     frame batch shards over a 1D 'data' mesh (params replicated) — the
@@ -173,12 +185,24 @@ class SingleFrameEngine:
 
     def __init__(self, size="vits", input_size=518, params=None,
                  max_depth=100.0, estimates_fov=False, rng_seed=0,
-                 data_parallel=True):
+                 data_parallel=True, variant="da", xfov=None, yfov=None):
+        self.variant = variant
+        self.xfov = xfov
+        self.yfov = yfov
+        if variant == "unidepth" and xfov is None:
+            raise ValueError("unidepth engine requires --xfov (reference "
+                             "unidepth_video.py makes FOV mandatory)")
         self.cfg = da.preset(size, metric=True, max_depth=max_depth)
+        import dataclasses as _dc
+        if variant == "unidepth" or (variant == "moge" and xfov):
+            self.cfg = _dc.replace(self.cfg, k_condition=True)
+        if variant in ("depthpro", "moge") and not xfov:
+            self.cfg = _dc.replace(self.cfg, fov_head=True)
         self.model = da.DepthAnything(self.cfg)
         self.input_size = input_size
         self.max_depth = max_depth
-        self.estimates_fov = estimates_fov
+        self.estimates_fov = estimates_fov or self.cfg.fov_head \
+            or variant == "unik3d"
         self._params = params
         self._rng = jax.random.PRNGKey(rng_seed)
         self._apply = self.model.apply
@@ -187,7 +211,53 @@ class SingleFrameEngine:
             from metric_depth_video_toolbox_tpu.parallel import mesh as mm
             self._mesh = mm.frame_mesh()
 
-    def infer_video(self, frames_u8, batch=16):
+    def _step_fn(self, h, w, work_hw):
+        """Variant-specific fused device step (shape-keyed by caller)."""
+        from metric_depth_video_toolbox_tpu.ops import geometry as geo
+        cfg = self.cfg
+        apply_fn = self._apply
+        variant = self.variant
+        max_depth = self.max_depth
+        patch = cfg.vit.patch_size
+        gh, gw = work_hw[0] // patch, work_hw[1] // patch
+        rays = None
+        if cfg.k_condition and self.xfov is not None:
+            rays = jnp.asarray(da.patch_center_rays(
+                self.xfov, gh, gw, self.yfov))
+
+        @jax.jit
+        def step(params, imgs_u8):
+            x = imgs_u8.astype(jnp.float32) / 255.0
+            x = jax.image.resize(
+                x, (x.shape[0], work_hw[0], work_hw[1], 3), "bilinear")
+            r = (jnp.broadcast_to(rays, (x.shape[0], gh, gw, 3))
+                 if rays is not None else None)
+            out = apply_fn(params, x, r) if (cfg.k_condition or
+                                             cfg.fov_head) \
+                else apply_fn(params, x)
+            if cfg.fov_head:
+                d, xf = out
+            else:
+                d, xf = out, None
+            if variant == "moge":
+                # NaN-sky -> max_depth (reference moge_video.py:171)
+                d = jnp.where(jnp.isfinite(d), d, max_depth)
+            d = jax.image.resize(d, (d.shape[0], h, w), "bilinear")
+            if variant == "unik3d":
+                # focal re-estimation from the unprojected points
+                # (unik3d_video.py:22-101): nominal-FOV unproject, then
+                # fit fx/fy back from the point cloud
+                nominal = self.xfov or 60.0
+                k = geo.camera_matrix_from_fov(w, h, nominal)
+                pts = jax.vmap(
+                    lambda dd: geo.unproject_depth(dd, k))(d)
+                fx, _ = jax.vmap(
+                    lambda p: geo.estimate_focal_from_points(p, h, w))(pts)
+                xf = jnp.degrees(2.0 * jnp.arctan2(w / 2.0, fx))
+            return d, xf
+        return step
+
+    def infer_video(self, frames_u8, batch=16, return_fov=False):
         t, h, w = frames_u8.shape[:3]
         work_hw = da.working_resolution(h, w, self.input_size,
                                         self.cfg.vit.patch_size)
@@ -196,7 +266,13 @@ class SingleFrameEngine:
             batch = max(batch, n_dev) // n_dev * n_dev
         if self._params is None:
             x = jnp.zeros((batch,) + tuple(work_hw) + (3,))
-            self._params = jax.jit(self.model.init)(self._rng, x)
+            gh = work_hw[0] // self.cfg.vit.patch_size
+            gw = work_hw[1] // self.cfg.vit.patch_size
+            if self.cfg.k_condition or self.cfg.fov_head:
+                self._params = jax.jit(self.model.init)(
+                    self._rng, x, jnp.zeros((batch, gh, gw, 3)))
+            else:
+                self._params = jax.jit(self.model.init)(self._rng, x)
         put = lambda c: jnp.asarray(c)
         if self._mesh is not None:
             from metric_depth_video_toolbox_tpu.parallel import sharding
@@ -204,32 +280,48 @@ class SingleFrameEngine:
                                           sharding.replicated(self._mesh))
             put = lambda c: jax.device_put(
                 jnp.asarray(c), sharding.batch_sharding(self._mesh))
-        outs = []
+
+        cache = getattr(self, "_step_cache", None)
+        if cache is None:
+            cache = self._step_cache = {}
+        key = (h, w, work_hw)
+        if key not in cache:
+            cache[key] = self._step_fn(h, w, work_hw)
+        step = cache[key]
+
+        outs, fovs = [], []
         for i in range(0, t, batch):
             chunk = frames_u8[i:i + batch]
             n = chunk.shape[0]
             if n < batch:
                 chunk = np.pad(chunk, ((0, batch - n), (0, 0), (0, 0),
                                        (0, 0)), mode="edge")
-            d = robust_call(da.infer_depth, self._apply,
-                            self._params, put(chunk), (h, w),
-                            work_hw)
+            d, xf = robust_call(step, self._params, put(chunk))
             outs.append(d[:n])
-        return np.concatenate(outs, axis=0)
+            if xf is not None:
+                fovs.append(np.asarray(xf)[:n])
+        depth = np.concatenate(outs, axis=0)
+        if return_fov:
+            return depth, (np.concatenate(fovs) if fovs else None)
+        return depth
 
 
 @register_engine("single_frame")
 def run_single_frame(color_video, max_depth=100.0, max_frames=-1,
                      engine=None, xfov=None, save_xfovs=False, **kw):
-    eng = engine or SingleFrameEngine(max_depth=max_depth, **kw)
+    eng = engine or SingleFrameEngine(max_depth=max_depth, xfov=xfov, **kw)
     frames, fps = vio.read_video_frames(color_video, max_frames=max_frames)
-    depth = eng.infer_video(frames)
+    depth, est_fovs = eng.infer_video(frames, return_fov=True)
     out = color_video + "_depth.mkv"
     vio.save_depth_video(depth, out, fps, max_depth)
     if save_xfovs:
-        xf = xfov if xfov is not None else 50.0
-        sidecar.save_xfovs(out + "_xfovs.json",
-                           np.full(frames.shape[0], xf, np.float32))
+        if est_fovs is not None:  # model/point-estimated per-frame FOV
+            sidecar.save_xfovs(out + "_xfovs.json",
+                               np.asarray(est_fovs, np.float32))
+        else:
+            xf = xfov if xfov is not None else 50.0
+            sidecar.save_xfovs(out + "_xfovs.json",
+                               np.full(frames.shape[0], xf, np.float32))
     return out
 
 
@@ -249,6 +341,12 @@ def run_batch(engine_name, videos_or_txt, **kw):
     eng_kw = {k: v for k, v in kw.items() if k not in _RUN_KEYS}
     if "max_depth" in kw:
         eng_kw["max_depth"] = kw["max_depth"]
+    if engine_name == "single_frame":
+        # the engine itself needs the FOV for K-conditioning / focal
+        # re-estimation (variant behaviors)
+        for k in ("xfov", "yfov"):
+            if kw.get(k) is not None:
+                eng_kw[k] = kw[k]
     outs = []
     eng = None
     for v in expand_batch(videos_or_txt):

@@ -93,6 +93,40 @@ def step1_create_scene_videos(color_video, scenes):
     reader.close()
 
 
+# per-scene Engine override names that map onto the single_frame engine
+# with a distinguishing variant (SURVEY.md §2.2)
+_SINGLE_FRAME_NAMES = ("unidepth", "unik3d", "moge", "depthpro",
+                       "single_frame")
+
+
+def _two_pass_single_frame(videos, variant, max_depth, engine_kwargs):
+    """Reference movie_2_3D.py:337-344: for single-frame engines the
+    movie runs the engine TWICE per scene — a FOV-estimation pass, then
+    a FOV-locked pass with the median estimate (so per-frame focal
+    jitter never reaches the stereo stage)."""
+    import numpy as np
+    kw = dict(engine_kwargs or {})
+    kw.pop("xfov", None)
+    for v in videos:
+        out = v + "_depth.mkv"
+        if vio.is_valid_video(out):
+            continue
+        frames, _fps = vio.read_video_frames(v)
+        est = depth_stage.SingleFrameEngine(
+            max_depth=max_depth, variant="unik3d", **kw)
+        _, fovs = est.infer_video(frames, return_fov=True)
+        xfov = float(np.median(fovs)) if fovs is not None else 60.0
+        print(f"{v}: two-pass FOV lock at xfov={xfov:.1f} deg")
+        variant2 = variant if variant not in ("single_frame", "da") \
+            else "unik3d"
+        eng = depth_stage.SingleFrameEngine(
+            max_depth=max_depth, variant=variant2, xfov=xfov, **kw)
+        depth_stage.run_single_frame(
+            v, max_depth=max_depth, engine=eng, xfov=xfov,
+            save_xfovs=True)
+        print(f"depth video saved: {out}")
+
+
 def step2_estimate_depth(scenes, engine="vda", max_depth=100.0,
                          engine_kwargs=None):
     """Batched depth estimation: one engine instance per engine type for
@@ -103,6 +137,7 @@ def step2_estimate_depth(scenes, engine="vda", max_depth=100.0,
         if scene["finished"] or vio.is_valid_video(scene["depth_video_file"]):
             continue
         eng = scene.get("Engine", "") or engine
+        variant = "da"
         if eng == "mvsa":
             # MVS needs a camera track the movie pipeline doesn't have
             # at depth time (reference movie_2_3D has no mvsa path
@@ -110,10 +145,21 @@ def step2_estimate_depth(scenes, engine="vda", max_depth=100.0,
             print(f"scene {scene['Scene Number']}: mvsa needs "
                   "--transformation_file; using single_frame instead")
             eng = "single_frame"
-        if eng not in depth_stage.ENGINES:
-            eng = "vda" if eng in ("vda", "da3") else "single_frame"
-        by_engine.setdefault(eng, []).append(scene["scene_video_file"])
-    for eng, videos in by_engine.items():
+        elif eng in _SINGLE_FRAME_NAMES:
+            variant = eng if eng != "single_frame" else "da"
+            eng = "single_frame"
+        elif eng == "videoanythingmetric":
+            eng = "vda"
+        elif eng not in depth_stage.ENGINES:
+            known = sorted(set(depth_stage.ENGINES)
+                           | set(_SINGLE_FRAME_NAMES))
+            print(f"WARNING: scene {scene['Scene Number']}: unknown "
+                  f"Engine override '{eng}' (known: {', '.join(known)}); "
+                  f"falling back to '{engine}'")
+            eng = engine if engine in depth_stage.ENGINES else "vda"
+        by_engine.setdefault((eng, variant), []).append(
+            scene["scene_video_file"])
+    for (eng, variant), videos in by_engine.items():
         if eng == "depthcrafter":
             # the diffusion engine re-metricizes against a reference;
             # the reference movie first runs a single-frame metric pass
@@ -128,6 +174,11 @@ def step2_estimate_depth(scenes, engine="vda", max_depth=100.0,
                 depth_stage.run_batch(
                     eng, v, max_depth=max_depth,
                     reference_depth_video=ref, **(engine_kwargs or {}))
+            continue
+        if eng == "single_frame":
+            # two-pass FOV flow (reference movie_2_3D.py:337-344)
+            _two_pass_single_frame(videos, variant, max_depth,
+                                   engine_kwargs)
             continue
         depth_stage.run_batch(eng, _as_list(videos), max_depth=max_depth,
                               **(engine_kwargs or {}))

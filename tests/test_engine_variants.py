@@ -1,0 +1,119 @@
+"""Single-frame engine variant behaviors (reference parity, SURVEY §2.2):
+
+- unidepth: --xfov mandatory, K-conditioned (ray-embedding params exist)
+- moge: NaN model output -> max_depth (reference moge_video.py:171)
+- depthpro: model-estimated per-frame FOV (depthpro_video.py:154-159)
+- unik3d: per-frame focal re-estimation from unprojected points
+- movie step2: unknown per-scene Engine override warns + falls back
+  (instead of silently rewriting), and single-frame scenes route through
+  the two-pass FOV flow (reference movie_2_3D.py:326-328, 337-344)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
+
+
+def _frames(rng, n=2, h=28, w=28):
+    return rng.integers(0, 255, (n, h, w, 3)).astype(np.uint8)
+
+
+def _tiny(variant, **kw):
+    return dstage.SingleFrameEngine(size="vitt", input_size=28,
+                                    data_parallel=False, variant=variant,
+                                    **kw)
+
+
+def test_unidepth_requires_xfov():
+    with pytest.raises(ValueError, match="xfov"):
+        _tiny("unidepth")
+
+
+def test_unidepth_k_conditioning_params(rng):
+    eng = _tiny("unidepth", xfov=60.0)
+    d = eng.infer_video(_frames(rng), batch=2)
+    assert d.shape == (2, 28, 28)
+    # the ray-embedding projection must exist in the param tree
+    assert "ray_embed" in eng._params["params"]
+
+
+def test_moge_nan_maps_to_max_depth(rng):
+    eng = _tiny("moge", max_depth=50.0)
+    # force the model output to NaN: the variant must clamp to max_depth
+    real_apply = eng._apply
+
+    def nan_apply(params, x, r=None):
+        out = real_apply(params, x) if r is None else real_apply(
+            params, x, r)
+        d = out[0] if isinstance(out, tuple) else out
+        d = jnp.full_like(d, jnp.nan)
+        return (d, out[1]) if isinstance(out, tuple) else d
+    eng._apply = nan_apply
+    d = eng.infer_video(_frames(rng), batch=2)
+    np.testing.assert_allclose(d, 50.0)
+
+
+def test_depthpro_estimates_fov(rng):
+    eng = _tiny("depthpro")
+    d, fovs = eng.infer_video(_frames(rng, n=3), batch=3, return_fov=True)
+    assert d.shape == (3, 28, 28)
+    assert fovs is not None and fovs.shape == (3,)
+    assert (fovs > 20).all() and (fovs < 120).all()
+
+
+def test_unik3d_reestimates_focal(rng):
+    eng = _tiny("unik3d", xfov=60.0)
+    d, fovs = eng.infer_video(_frames(rng, n=2), batch=2, return_fov=True)
+    assert fovs is not None and fovs.shape == (2,)
+    assert np.isfinite(fovs).all()
+
+
+def test_movie_step2_warns_on_unknown_engine(tmp_path, capsys, monkeypatch):
+    from metric_depth_video_toolbox_tpu.pipeline import movie
+
+    calls = []
+    monkeypatch.setattr(movie.depth_stage, "run_batch",
+                        lambda eng, vids, **kw: calls.append((eng, vids)))
+    monkeypatch.setattr(movie, "_two_pass_single_frame",
+                        lambda vids, variant, md, kw: calls.append(
+                            ("two_pass:" + variant, vids)))
+    scenes = [
+        {"finished": False, "Scene Number": 1, "Engine": "bogus_engine",
+         "depth_video_file": str(tmp_path / "no1.mkv"),
+         "scene_video_file": str(tmp_path / "s1.mkv")},
+        {"finished": False, "Scene Number": 2, "Engine": "moge",
+         "depth_video_file": str(tmp_path / "no2.mkv"),
+         "scene_video_file": str(tmp_path / "s2.mkv")},
+    ]
+    movie.step2_estimate_depth(scenes, engine="vda")
+    out = capsys.readouterr().out
+    assert "WARNING" in out and "bogus_engine" in out
+    # unknown fell back to the movie default engine (vda)
+    assert any(c[0] == "vda" for c in calls)
+    # moge routed through the two-pass single-frame flow
+    assert any(c[0] == "two_pass:moge" for c in calls)
+
+
+def test_movie_two_pass_fov_lock(tmp_path):
+    """Real two-pass run on a tiny clip: depth + locked xfovs sidecar."""
+    from metric_depth_video_toolbox_tpu.io import video as vio
+    from metric_depth_video_toolbox_tpu.io import sidecar
+    from metric_depth_video_toolbox_tpu.pipeline import movie
+
+    rng = np.random.default_rng(0)
+    clip = str(tmp_path / "scene.mkv")
+    vio.save_rgb_video(rng.integers(0, 255, (3, 28, 28, 3), np.uint8),
+                       clip, 24)
+    movie._two_pass_single_frame(
+        [clip], "unik3d", 100.0,
+        {"size": "vitt", "input_size": 28, "data_parallel": False})
+    out = clip + "_depth.mkv"
+    assert vio.is_valid_video(out)
+    fovs = sidecar.load_xfovs(out + "_xfovs.json")
+    fovs = np.asarray(fovs, np.float32)
+    # locked: every frame carries the same (median) estimate
+    assert np.allclose(fovs, fovs[0])

@@ -47,7 +47,21 @@ def _se3_apply(rvec, tvec, pts):
 @partial(jax.jit, static_argnames=("iters", "optimize_focal"))
 def bundle_adjust(track_uv, track_valid, anchor_depth, k, rvecs0, tvecs0,
                   iters=10, optimize_focal=False, damping=1e-3):
-    """Global Gauss-Newton bundle adjustment.
+    """Global Gauss-Newton bundle adjustment with a Schur complement on
+    the poses (the role of DROID-SLAM's dense BA CUDA kernel,
+    reference sam_track_video.py:200-206 ``full_ba``).
+
+    Structure exploited: each residual (t, n) touches exactly TWO poses
+    (the observing frame t and track n's anchor frame a_n), ONE 1-dof
+    structure variable (the track's log-inverse-depth correction), and
+    optionally the global focal scale. So the structure block C of the
+    normal equations is DIAGONAL, and the system reduces to
+    S = Hp - E C^-1 E^T over the (6T+1) pose/focal variables — the
+    reference working scale (1500 frames x 512 tracks,
+    movie_2_3D.py:189 / sam_track_video.py:200) is a 9001-dim dense
+    solve + (T,N) block einsums, all MXU work; the earlier dense-jacfwd
+    formulation materialized a (2TN x 6T+N) Jacobian (~56 GB at that
+    scale).
 
     track_uv:     (T, N, 2) observed pixel positions per frame.
     track_valid:  (T, N) observation weights (0 = missing; motion-masked
@@ -69,75 +83,141 @@ def bundle_adjust(track_uv, track_valid, anchor_depth, k, rvecs0, tvecs0,
     first_idx = jnp.argmax(track_valid > 0, axis=0)  # (N,)
     anchor_uv = jnp.take_along_axis(
         track_uv, first_idx[None, :, None], axis=0)[0]  # (N, 2)
+    # anchor rays at unit focal scale; focal scale divides them inside
+    aray = jnp.stack([(anchor_uv[:, 0] - cx) / fx,
+                      (anchor_uv[:, 1] - cy) / fy], axis=-1)  # (N, 2)
 
-    def world_points(params):
-        logz = params["logz"]
-        z = anchor_depth * jnp.exp(logz)
-        fscale = jnp.exp(params["log_f"]) if optimize_focal else 1.0
-        rays = jnp.stack([(anchor_uv[:, 0] - cx) / (fx * fscale),
-                          (anchor_uv[:, 1] - cy) / (fy * fscale),
-                          jnp.ones_like(z)], axis=-1)
-        p_anchor_cam = rays * z[:, None]
-        # anchor camera -> world: inverse of that frame's w2c
-        rv = params["rvecs"][first_idx]
-        tv = params["tvecs"][first_idx]
-        r = jax.vmap(solvers._so3_exp)(rv)
-        # p_cam = R p_w + t  =>  p_w = R^T (p_cam - t)
-        return jnp.einsum("nij,nj->ni", r.transpose(0, 2, 1),
-                          p_anchor_cam - tv)
+    def res_one(packed, uv, w, ar, adepth):
+        """One residual from its 14 packed inputs:
+        [pose_t (6), pose_a (6), logz, log_f] -> weighted (2,)."""
+        pose_t, pose_a = packed[0:6], packed[6:12]
+        logz, logf = packed[12], packed[13]
+        fscale = jnp.exp(logf) if optimize_focal else 1.0
+        z = adepth * jnp.exp(logz)
+        p_anchor = jnp.array([ar[0] / fscale * z, ar[1] / fscale * z, z])
+        ra = solvers._so3_exp(pose_a[:3])
+        pw = ra.T @ (p_anchor - pose_a[3:6])
+        rt = solvers._so3_exp(pose_t[:3])
+        pc = rt @ pw + pose_t[3:6]
+        zc = jnp.maximum(pc[2], 1e-3)
+        u = pc[0] / zc * fx * fscale + cx
+        v = pc[1] / zc * fy * fscale + cy
+        return (jnp.stack([u, v]) - uv) * w
 
-    def residuals(params):
-        pw = world_points(params)  # (N, 3)
-        rv = params["rvecs"]
-        tv = params["tvecs"]
-        fscale = jnp.exp(params["log_f"]) if optimize_focal else 1.0
-        r = jax.vmap(solvers._so3_exp)(rv)  # (T, 3, 3)
-        pc = jnp.einsum("tij,nj->tni", r, pw) + tv[:, None, :]
-        z = jnp.maximum(pc[..., 2], 1e-3)
-        u = pc[..., 0] / z * fx * fscale + cx
-        v = pc[..., 1] / z * fy * fscale + cy
-        res = jnp.stack([u, v], axis=-1) - track_uv
-        w = track_valid
-        # fix frame 0's pose by down-weighting nothing; gauge freedom is
-        # removed by zeroing frame-0 updates below
-        return res * w[..., None]
+    res_grad = jax.vmap(jax.vmap(
+        lambda p, uv, w, ar, ad: (res_one(p, uv, w, ar, ad),
+                                  jax.jacfwd(res_one)(p, uv, w, ar, ad)),
+        in_axes=(0, 0, 0, 0, 0)), in_axes=(0, 0, 0, None, None))
 
-    params = {"rvecs": rvecs0, "tvecs": tvecs0,
-              "logz": jnp.zeros(n_tracks, jnp.float32)}
-    if optimize_focal:
-        params["log_f"] = jnp.zeros((), jnp.float32)
+    t_idx = jnp.arange(t_frames)
+    n_idx = jnp.arange(n_tracks)
+    np_pose = 6 * t_frames + (1 if optimize_focal else 0)
 
-    flat, unravel = jax.flatten_util.ravel_pytree(params)
+    def gn_step(_, state):
+        rvecs, tvecs, logz, logf = state
+        poses = jnp.concatenate([rvecs, tvecs], axis=-1)  # (T, 6)
+        packed = jnp.concatenate([
+            jnp.broadcast_to(poses[:, None], (t_frames, n_tracks, 6)),
+            jnp.broadcast_to(poses[first_idx][None],
+                             (t_frames, n_tracks, 6)),
+            jnp.broadcast_to(logz[None, :, None],
+                             (t_frames, n_tracks, 1)),
+            jnp.full((t_frames, n_tracks, 1), logf),
+        ], axis=-1)
+        r, jac = res_grad(packed, track_uv, track_valid, aray,
+                          anchor_depth)  # (T,N,2), (T,N,2,14)
+        # gauge fix: frame 0 contributes no pose derivatives
+        jt = jac[..., 0:6] * (t_idx[:, None, None, None] != 0)
+        ja = jac[..., 6:12] * (first_idx[None, :, None, None] != 0)
+        jz = jac[..., 12]   # (T, N, 2)
+        jf = jac[..., 13]
 
-    def loss_vec(x):
-        return residuals(unravel(x)).reshape(-1)
+        # --- normal equations, pose part (T,T,6,6 block matrix) ------
+        h = jnp.zeros((t_frames, t_frames, 6, 6), jnp.float32)
+        h_tt = jnp.einsum("tnai,tnaj->tij", jt, jt)
+        h = h.at[t_idx, t_idx].add(h_tt)
+        h_aa = jnp.einsum("tnai,tnaj->nij", ja, ja)
+        h = h.at[first_idx, first_idx].add(h_aa)
+        h_ta = jnp.einsum("tnai,tnaj->tnij", jt, ja)  # (T,N,6,6)
+        h = h.at[:, first_idx].add(h_ta)
+        h = h.at[first_idx, :].add(
+            h_ta.transpose(1, 0, 3, 2))  # (N,T,6,6) at rows a_n
+        hp = h.transpose(0, 2, 1, 3).reshape(6 * t_frames, 6 * t_frames)
 
-    def gn_step(_, x):
-        jt = jax.jacfwd(loss_vec)(x)
-        r = loss_vec(x)
-        jtj = jt.T @ jt
-        # Levenberg damping with an absolute floor: parameters with no
-        # observations (dead tracks) otherwise make the system singular
-        floor = 1e-5 * (1.0 + jnp.max(jnp.diag(jtj)))
-        jtj = jtj + damping * jnp.diag(jnp.diag(jtj)) \
-            + floor * jnp.eye(jtj.shape[0])
-        dx = jnp.linalg.solve(jtj, -(jt.T @ r))
-        dx = jnp.nan_to_num(dx)
-        x2 = x + dx
-        # gauge fix: frame 0 stays at its initial pose
-        p2 = unravel(x2)
-        p2["rvecs"] = p2["rvecs"].at[0].set(rvecs0[0])
-        p2["tvecs"] = p2["tvecs"].at[0].set(tvecs0[0])
-        return jax.flatten_util.ravel_pytree(p2)[0]
+        # --- structure (diagonal) and couplings ----------------------
+        c_diag = jnp.einsum("tna,tna->n", jz, jz)
+        e = jnp.zeros((t_frames, n_tracks, 6), jnp.float32)
+        e = e + jnp.einsum("tnai,tna->tni", jt, jz)
+        e = e.at[first_idx, n_idx].add(
+            jnp.einsum("tnai,tna->ni", ja, jz))
+        e = e.transpose(0, 2, 1).reshape(6 * t_frames, n_tracks)
 
-    x = jax.lax.fori_loop(0, iters, gn_step, flat)
-    out = unravel(x)
-    res = residuals(out)
+        g_pose = jnp.zeros((t_frames, 6), jnp.float32)
+        g_pose = g_pose + jnp.einsum("tnai,tna->ti", jt, r)
+        g_pose = g_pose.at[first_idx].add(
+            jnp.einsum("tnai,tna->ni", ja, r))
+        g_pose = g_pose.reshape(6 * t_frames)
+        g_z = jnp.einsum("tna,tna->n", jz, r)
+
+        if optimize_focal:
+            h_ff = jnp.sum(jf * jf)[None, None]
+            h_pf = jnp.zeros((t_frames, 6), jnp.float32)
+            h_pf = h_pf + jnp.einsum("tnai,tna->ti", jt, jf)
+            h_pf = h_pf.at[first_idx].add(
+                jnp.einsum("tnai,tna->ni", ja, jf))
+            h_pf = h_pf.reshape(6 * t_frames, 1)
+            hp = jnp.block([[hp, h_pf], [h_pf.T, h_ff]])
+            e_f = jnp.einsum("tna,tna->n", jf, jz)[None]  # (1, N)
+            e = jnp.concatenate([e, e_f], axis=0)
+            g_pose = jnp.concatenate(
+                [g_pose, jnp.sum(jf * r)[None]])
+
+        # Levenberg damping + absolute floor (dead tracks / frames)
+        floor = 1e-5 * (1.0 + jnp.max(jnp.abs(jnp.diag(hp))))
+        hp = hp + damping * jnp.diag(jnp.diag(hp)) \
+            + floor * jnp.eye(np_pose)
+        c_inv = 1.0 / (c_diag * (1.0 + damping)
+                       + 1e-5 * (1.0 + jnp.max(c_diag)))
+
+        # --- Schur complement on poses -------------------------------
+        s = hp - (e * c_inv[None, :]) @ e.T
+        rhs = -(g_pose - e @ (c_inv * g_z))
+        dy = jnp.linalg.solve(s, rhs)
+        dz = c_inv * (-g_z - e.T @ dy)
+        dy = jnp.nan_to_num(dy)
+        dz = jnp.nan_to_num(dz)
+
+        dpose = dy[: 6 * t_frames].reshape(t_frames, 6)
+        rvecs = rvecs + dpose[:, :3]
+        tvecs = tvecs + dpose[:, 3:]
+        logz = logz + dz
+        if optimize_focal:
+            logf = logf + dy[-1]
+        # gauge: frame 0 pinned exactly
+        rvecs = rvecs.at[0].set(rvecs0[0])
+        tvecs = tvecs.at[0].set(tvecs0[0])
+        return rvecs, tvecs, logz, logf
+
+    state0 = (rvecs0, tvecs0, jnp.zeros(n_tracks, jnp.float32),
+              jnp.zeros((), jnp.float32))
+    rvecs, tvecs, logz, logf = jax.lax.fori_loop(0, iters, gn_step,
+                                                 state0)
+
+    # final residual statistics
+    poses = jnp.concatenate([rvecs, tvecs], axis=-1)
+    packed = jnp.concatenate([
+        jnp.broadcast_to(poses[:, None], (t_frames, n_tracks, 6)),
+        jnp.broadcast_to(poses[first_idx][None], (t_frames, n_tracks, 6)),
+        jnp.broadcast_to(logz[None, :, None], (t_frames, n_tracks, 1)),
+        jnp.full((t_frames, n_tracks, 1), logf),
+    ], axis=-1)
+    res = jax.vmap(jax.vmap(res_one, in_axes=(0, 0, 0, 0, 0)),
+                   in_axes=(0, 0, 0, None, None))(
+        packed, track_uv, track_valid, aray, anchor_depth)
     denom = jnp.maximum(track_valid.sum(), 1.0)
     mean_res = jnp.sum(jnp.linalg.norm(res, axis=-1)) / denom
-    fscale = jnp.exp(out.get("log_f", jnp.zeros(()))) \
-        if optimize_focal else jnp.ones(())
-    return out["rvecs"], out["tvecs"], fscale, out["logz"], mean_res
+    fscale = jnp.exp(logf) if optimize_focal else jnp.ones(())
+    return rvecs, tvecs, fscale, logz, mean_res
 
 
 def motion_weights(dense_tracks, transforms, depths_at_tracks, k,

@@ -96,6 +96,9 @@ def videoanythingmetric_main(argv=None):
 
 def da3_main(argv=None):
     p = _base_parser("DA3-class windowed multi-view depth + poses.")
+    # production default is the VIT_L-class model (reference
+    # video_da3.py:274 defaults to nested-giant-large)
+    p.set_defaults(model_size="vitl")
     p.add_argument("--images_per_batch", default=40, type=int)
     p.add_argument("--batch_overlap", default=6, type=int)
     p.add_argument("--nr_of_ref_frames", default=6, type=int)
@@ -104,7 +107,7 @@ def da3_main(argv=None):
     from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
     outs = dstage.run_batch(
         "da3", args.color_video, max_depth=args.max_depth,
-        max_frames=args.max_frames,
+        max_frames=args.max_frames, size=args.model_size,
         images_per_batch=args.images_per_batch,
         overlap=args.batch_overlap, num_ref_frames=args.nr_of_ref_frames,
         resolution=args.da3_resolution)
@@ -132,6 +135,11 @@ def depthcrafter_main(argv=None):
 
 
 def geometrycrafter_main(argv=None):
+    """Distinct stabilizer engine: the prior depth is projected to POINT
+    MAPS and the diffusion denoiser is conditioned on the point-map
+    latent alongside the RGB latent (reference
+    geometrycrafter_video.py:24-93 project_depth_maps + :345-421); with
+    no --depth_video prior, a MoGe-class pass supplies it (:101-153)."""
     p = _base_parser("GeometryCrafter-class diffusion depth stabilizer "
                      "(prior = MoGe or a depth video).")
     p.add_argument("--depth_video", type=str,
@@ -140,13 +148,11 @@ def geometrycrafter_main(argv=None):
     p.add_argument("--overlap", default=5, type=int)
     args = p.parse_args(argv)
     from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
-    # the stabilizer is the same diffusion engine conditioned on the prior
     outs = dstage.run_batch(
-        "depthcrafter", args.color_video, max_depth=args.max_depth,
-        max_frames=args.max_frames,
-        reference_depth_video=args.depth_video
-        or (args.color_video + "_depth.mkv"),
-        window=args.window, overlap=args.overlap)
+        "geometrycrafter", args.color_video, max_depth=args.max_depth,
+        max_frames=args.max_frames, xfov=args.xfov,
+        reference_depth_video=args.depth_video,
+        window=args.window, overlap=args.overlap, size=args.model_size)
     for o in outs:
         print(f"depth video saved: {o}")
     return outs

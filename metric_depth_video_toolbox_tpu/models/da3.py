@@ -1,9 +1,20 @@
 """DA3-class multi-view depth + pose estimation (Flax).
 
 Fills the role of Depth-Anything-3 (the reference's default engine,
-video_da3.py): a batch of frames goes through a shared ViT with
-cross-view attention; heads predict per-frame depth, per-frame camera
-extrinsics (w2c) and FOV. The windowed video driver reproduces the
+video_da3.py, default model nested-giant-large — video_da3.py:274): a
+batch of views goes through a shared ViT backbone, a cross-view
+transformer mixes tokens across views (with one learnable POSE TOKEN
+per view), and two heads decode:
+
+- DualDPT: a DPT decode with shared per-level reassembly and two fusion
+  branches — metric DEPTH (1ch) and per-pixel RAY directions (3ch, the
+  DA3 depth+ray output parameterization);
+- camera head: each view's pose token -> MLP -> unit quaternion,
+  translation, and focal scale (w2c extrinsics + per-view FOV).
+
+Production default is a VIT_L-class backbone with 4 cross-view layers
+(``DA3_L``; ``preset('vitl')``); the tiny config exists only for tests
+and ``--model_size vitt``. The windowed video driver reproduces the
 reference's batching exactly (video_da3.py:127-241):
 
   - batches of N frames + a few global reference frames spanning the clip
@@ -15,6 +26,10 @@ reference's batching exactly (video_da3.py:127-241):
 
 Outputs per clip: metric depth (T, H, W), cam-to-world transforms
 (T, 4, 4), xfovs (T,).
+
+TPU mapping: per-view ViT work is pure DP over views; the cross-view
+attention is one concatenated-sequence attention (flash kernel on TPU)
+— the only cross-view (and on a mesh, cross-device) op.
 """
 
 from __future__ import annotations
@@ -36,32 +51,144 @@ from metric_depth_video_toolbox_tpu.utils.host import robust_call, to_host
 class DA3Config:
     vit: vit_mod.ViTConfig = vit_mod.VIT_L
     dpt: dpt_mod.DPTConfig = dpt_mod.DPTConfig()
-    cross_view_layers: int = 2
+    cross_view_layers: int = 4
+    ray_head: bool = True
     max_depth: float = 100.0
 
 
-DA3_TINY = DA3Config(vit=vit_mod.VIT_TINY, dpt=dpt_mod.DPT_TINY)
+DA3_TINY = DA3Config(vit=vit_mod.VIT_TINY, dpt=dpt_mod.DPT_TINY,
+                     cross_view_layers=2, ray_head=True)
+DA3_S = DA3Config(vit=vit_mod.VIT_S, dpt=dpt_mod.DPTConfig(),
+                  cross_view_layers=2)
+DA3_L = DA3Config()  # production default: VIT_L + 4 cross-view layers
+DA3_G = DA3Config(vit=vit_mod.VIT_G, cross_view_layers=6)
+
+PRESETS = {"vitt": DA3_TINY, "vits": DA3_S, "vitb": DA3_S,
+           "vitl": DA3_L, "vitg": DA3_G}
+
+
+def preset(name):
+    return PRESETS.get(name, DA3_L)
 
 
 class CrossViewBlock(nn.Module):
-    """Attention over all tokens of all views (the multi-view mixer)."""
+    """Full attention over all tokens of all views (+pose tokens) — the
+    multi-view mixer. Pre-norm transformer block, 4x GELU MLP."""
     dim: int
     heads: int
     dtype: jnp.dtype
 
     @nn.compact
     def __call__(self, x):
-        """x: (V, N, D) -> attend over the flattened (V*N) token set."""
-        v, n, d = x.shape
+        """x: (S, D) flattened multi-view token sequence."""
+        s, d = x.shape
         y = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
-        y = y.reshape(1, v * n, d)
+        y = y[None]
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, dtype=self.dtype, name="attn")(y, y)
-        x = x + y.reshape(v, n, d)
+        x = x + y[0]
         z = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
-        z = nn.Dense(d * 2, dtype=self.dtype, name="fc1")(z)
-        z = nn.Dense(d, dtype=self.dtype, name="fc2")(nn.gelu(z))
+        z = nn.Dense(d * 4, dtype=self.dtype, name="fc1")(z)
+        z = nn.Dense(d, dtype=self.dtype, name="fc2")(
+            nn.gelu(z, approximate=False))
         return x + z
+
+
+class DualDPT(nn.Module):
+    """DPT decode with shared reassembly and two fusion branches:
+    depth (1ch, relu) and ray directions (3ch, normalized)."""
+    cfg: DA3Config
+
+    @nn.compact
+    def __call__(self, feats):
+        c = self.cfg.dpt
+        depth = dpt_mod.DPTHead(c, patch_size=self.cfg.vit.patch_size,
+                                name="depth_branch")(feats)
+        out = {"depth": depth[..., 0]}
+        if self.cfg.ray_head:
+            ray_cfg = dataclasses.replace(c, head_act="relu")
+            # ray branch shares the DPT structure; 3-channel output via
+            # its own head conv stack (run on the same features)
+            rays = RayBranch(ray_cfg, self.cfg.vit.patch_size,
+                             name="ray_branch")(feats)
+            out["rays"] = rays
+        return out
+
+
+class RayBranch(nn.Module):
+    """DPT-style decode to per-pixel unit ray directions (3ch)."""
+    cfg: dpt_mod.DPTConfig
+    patch_size: int
+
+    @nn.compact
+    def __call__(self, feats):
+        c = self.cfg
+        b, gh, gw, _ = feats[0].shape
+        scales = (4, 2, 1, 0.5)
+        pyr = []
+        for i, (f, ch) in enumerate(zip(feats, c.out_channels)):
+            y = nn.Conv(ch, (1, 1), dtype=c.compute_dtype,
+                        name=f"project{i}")(f)
+            hw = (int(gh * scales[i]), int(gw * scales[i]))
+            y = jax.image.resize(
+                y, (b,) + hw + (y.shape[-1],), "bilinear").astype(y.dtype)
+            y = nn.Conv(c.features, (3, 3), dtype=c.compute_dtype,
+                        use_bias=False, name=f"scratch{i}")(y)
+            pyr.append(y)
+        x = dpt_mod.FeatureFusion(c, name="fusion3")(
+            pyr[3], out_hw=pyr[2].shape[1:3])
+        x = dpt_mod.FeatureFusion(c, name="fusion2")(
+            x, skip=pyr[2], out_hw=pyr[1].shape[1:3])
+        x = dpt_mod.FeatureFusion(c, name="fusion1")(
+            x, skip=pyr[1], out_hw=pyr[0].shape[1:3])
+        x = dpt_mod.FeatureFusion(c, name="fusion0")(x, skip=pyr[0])
+        x = nn.Conv(c.features // 2, (3, 3), dtype=c.compute_dtype,
+                    name="head_conv1")(x)
+        x = nn.relu(x)
+        x = jax.image.resize(
+            x, (b, gh * self.patch_size, gw * self.patch_size,
+                x.shape[-1]), "bilinear").astype(x.dtype)
+        x = nn.Conv(3, (3, 3), dtype=jnp.float32, name="head_conv2")(x)
+        # unit directions, +z hemisphere
+        n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        x = x / jnp.maximum(n, 1e-6)
+        return x * jnp.sign(x[..., 2:3] + 1e-9)
+
+
+def _quat_to_rot(q):
+    """(4,) unit quaternion (w, x, y, z) -> (3, 3) rotation."""
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    return jnp.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+class CameraHead(nn.Module):
+    """Per-view pose token -> w2c extrinsics + FOV (8-dof: unit
+    quaternion, translation, focal)."""
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, pose_tokens):
+        """pose_tokens: (V, D) -> w2c (V, 4, 4), xfov_deg (V,)."""
+        v, d = pose_tokens.shape
+        h = nn.Dense(max(256, d), dtype=self.dtype, name="fc1")(
+            pose_tokens)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(max(256, d), dtype=self.dtype, name="fc2")(h)
+        h = nn.gelu(h, approximate=False)
+        out = nn.Dense(8, dtype=jnp.float32, name="out")(h)
+        quat = out[:, :4] + jnp.array([1.0, 0, 0, 0])  # identity bias
+        quat = quat / jnp.maximum(
+            jnp.linalg.norm(quat, axis=-1, keepdims=True), 1e-6)
+        tvec = out[:, 4:7]
+        fov = 40.0 + 50.0 * nn.sigmoid(out[:, 7])  # degrees, 40..90
+        rots = jax.vmap(_quat_to_rot)(quat)
+        w2c = jnp.tile(jnp.eye(4, dtype=jnp.float32), (v, 1, 1))
+        w2c = w2c.at[:, :3, :3].set(rots).at[:, :3, 3].set(tvec)
+        return w2c, fov
 
 
 class DA3(nn.Module):
@@ -70,46 +197,51 @@ class DA3(nn.Module):
     @nn.compact
     def __call__(self, frames):
         """frames: (V, H, W, 3) [0,1] -> dict with depth (V, H, W),
-        w2c (V, 4, 4), xfov_deg (V,)."""
+        w2c (V, 4, 4), xfov_deg (V,), rays (V, H, W, 3) when
+        cfg.ray_head."""
         c = self.cfg
         feats, cls = vit_mod.ViT(c.vit, name="backbone")(frames)
         v, gh, gw, d = feats[-1].shape
         dt = c.vit.compute_dtype
 
-        # cross-view mixing on the last level
+        # cross-view transformer over the finest-level tokens + one
+        # learnable pose token per view
+        pose_tok = self.param("pose_token", nn.initializers.normal(0.02),
+                              (1, d))
+        view_emb = self.param("view_embed", nn.initializers.normal(0.02),
+                              (64, d))  # supports up to 64 views/window
         f = feats[-1].reshape(v, gh * gw, d).astype(dt)
+        f = f + view_emb[:v, None].astype(dt)
+        pt = jnp.broadcast_to(pose_tok.astype(dt), (v, d))
+        pt = pt + view_emb[:v].astype(dt)
+        seq = jnp.concatenate([pt[:, None], f], axis=1)  # (V, 1+N, D)
+        seq = seq.reshape(v * (gh * gw + 1), d)
         for i in range(c.cross_view_layers):
-            f = CrossViewBlock(d, c.vit.num_heads, dt,
-                               name=f"crossview{i}")(f)
-        feats[-1] = f.reshape(v, gh, gw, d)
+            seq = CrossViewBlock(d, c.vit.num_heads, dt,
+                                 name=f"crossview{i}")(seq)
+        seq = seq.reshape(v, gh * gw + 1, d)
+        pose_tokens = seq[:, 0]
+        feats[-1] = seq[:, 1:].reshape(v, gh, gw, d)
 
-        depth = dpt_mod.DPTHead(c.dpt, patch_size=c.vit.patch_size,
-                                name="head")(feats)[..., 0]
-        depth = jnp.clip(depth.astype(jnp.float32), 0.0, c.max_depth)
-
-        # camera head from pooled multi-view features
-        pooled = jnp.concatenate(
-            [f.mean(axis=1), cls.astype(dt)], axis=-1)  # (V, 2D)
-        h = nn.Dense(256, dtype=dt, name="cam_fc1")(pooled)
-        h = nn.gelu(h)
-        cam = nn.Dense(7, dtype=jnp.float32, name="cam_out")(h)
-        rvec = cam[:, :3] * 0.1
-        tvec = cam[:, 3:6]
-        fov = 40.0 + 50.0 * nn.sigmoid(cam[:, 6])  # degrees, 40..90
-
-        rots = jax.vmap(solvers._so3_exp)(rvec)
-        w2c = jnp.tile(jnp.eye(4, dtype=jnp.float32), (v, 1, 1))
-        w2c = w2c.at[:, :3, :3].set(rots).at[:, :3, 3].set(tvec)
-        return {"depth": depth, "w2c": w2c, "xfov_deg": fov}
+        heads = DualDPT(c, name="head")(feats)
+        depth = jnp.clip(heads["depth"].astype(jnp.float32), 0.0,
+                         c.max_depth)
+        w2c, fov = CameraHead(dt, name="camera")(pose_tokens)
+        out = {"depth": depth, "w2c": w2c, "xfov_deg": fov}
+        if c.ray_head:
+            out["rays"] = heads["rays"]
+        return out
 
 
 class DA3Engine:
-    """Windowed video driver with the reference's overlap stitching."""
+    """Windowed video driver with the reference's overlap stitching.
+    Defaults to the production VIT_L-class config (reference
+    video_da3.py:274 defaults to da3 nested-giant-large)."""
 
     def __init__(self, cfg=None, params=None, images_per_batch=40,
                  overlap=6, num_ref_frames=6, resolution=504,
                  rng_seed=0):
-        self.cfg = cfg or DA3_TINY
+        self.cfg = cfg or DA3_L
         self.model = DA3(self.cfg)
         self.images_per_batch = images_per_batch
         self.overlap = overlap

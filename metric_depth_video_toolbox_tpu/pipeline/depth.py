@@ -347,6 +347,8 @@ def run_batch(engine_name, videos_or_txt, **kw):
         for k in ("xfov", "yfov"):
             if kw.get(k) is not None:
                 eng_kw[k] = kw[k]
+    if engine_name == "geometrycrafter" and kw.get("xfov") is not None:
+        eng_kw["xfov"] = kw["xfov"]  # point-map unprojection FOV
     outs = []
     eng = None
     for v in expand_batch(videos_or_txt):
@@ -367,10 +369,13 @@ class DA3PipelineEngine:
     def __init__(self, max_depth=100.0, size=None, input_size=None, **kw):
         from metric_depth_video_toolbox_tpu.models import da3 as da3_mod
         # generic engine kwargs (movie step2 passes them to every
-        # engine): size maps onto the DA3 config preset, input_size onto
-        # the working resolution
-        if size in ("vitt", "tiny"):
-            kw.setdefault("cfg", da3_mod.DA3_TINY)
+        # engine): size maps onto the DA3 config preset (production
+        # default VIT_L-class, reference video_da3.py:274), input_size
+        # onto the working resolution
+        if size == "tiny":
+            size = "vitt"
+        if size is not None:
+            kw.setdefault("cfg", da3_mod.preset(size))
         if input_size is not None:
             kw.setdefault("resolution", input_size)
         self.engine = da3_mod.DA3Engine(**kw)
@@ -475,6 +480,141 @@ class DepthCrafterEngine:
         depth = 1.0 / np.maximum(inv, 1e-6)
         depth[inv <= 0] = self.max_depth
         return np.clip(depth, 0, self.max_depth).astype(np.float32)
+
+
+class GeometryCrafterEngine:
+    """GeometryCrafter-class depth STABILIZER — a distinct conditioning
+    path from DepthCrafter (reference geometrycrafter_video.py):
+
+    - the prior (MoGe output or any depth video) is projected to POINT
+      MAPS at the working resolution (project_depth_maps, :24-93),
+      normalized per window by the median z;
+    - the diffusion denoiser is conditioned on BOTH the RGB latent and
+      the point-map latent (the reference's point-map VAE conditioning,
+      :345-421);
+    - the model output is a refined point map; its Z channel becomes
+      the depth (:418), de-normalized and median-rescaled to the prior.
+
+    Window 110 / overlap 5 at a 640x384-class working resolution
+    (:345-349)."""
+
+    def __init__(self, cfg=None, params=None, window=110, overlap=5,
+                 work_hw=(384, 640), rng_seed=0, max_depth=100.0,
+                 xfov=60.0, **_):
+        from metric_depth_video_toolbox_tpu.models import diffusion as dif
+        self.dif = dif
+        self.cfg = cfg or dif.DIFFUSION_TINY
+        self.model = dif.VideoInpainter(self.cfg)
+        self.window = window
+        self.overlap = overlap
+        self.work_hw = work_hw
+        self.max_depth = max_depth
+        self.xfov = xfov or 60.0
+        self._params = params
+        self._rng = jax.random.PRNGKey(rng_seed)
+
+    def infer_window(self, frames_u8, prior_depth):
+        from metric_depth_video_toolbox_tpu.ops import geometry as geo
+        t, h, w = frames_u8.shape[:3]
+        wh, ww = self.work_hw
+
+        cache = getattr(self, "_run_cache", None)
+        if cache is None:
+            cache = self._run_cache = {}
+        key = (t, h, w)
+        if key not in cache:
+            @jax.jit
+            def run(params, rng, f_u8, prior):
+                f = f_u8.astype(jnp.float32) / 255.0
+                fw = jax.image.resize(f, (t, wh, ww, 3), "bilinear")
+                # prior depth -> point maps at working res
+                # (project_depth_maps, geometrycrafter_video.py:24-93)
+                pw = jax.image.resize(prior, (t, wh, ww), "bilinear")
+                k = geo.camera_matrix_from_fov(ww, wh,
+                                               xfov_deg=self.xfov)
+                pts = jax.vmap(lambda d: geo.unproject_depth(d, k))(pw)
+                scale = jnp.median(pw)
+                pmap = pts / jnp.maximum(scale, 1e-3)
+                rgb_lat = self.model.apply(params, fw,
+                                           method=self.model.encode)
+                pmap_lat = self.model.apply(params, pmap,
+                                            method=self.model.encode)
+                # cond channel layout matches the inpainter init path
+                # (latent + mask + second latent); the mask slot is 0 —
+                # the stabilizer conditions on the full frame
+                mlat = jnp.zeros(rgb_lat.shape[:3] + (1,))
+                cond = jnp.concatenate([rgb_lat, mlat, pmap_lat],
+                                       axis=-1)
+                z = self.dif.sample(
+                    lambda p, zz, s, c: self.model.apply(
+                        p, zz, s, c, method=self.model.denoise),
+                    params, rng, rgb_lat.shape, self.cfg, cond)
+                out = self.model.apply(params, z,
+                                       method=self.model.decode)
+                # Z channel of the refined point map -> depth (:418)
+                zd = out[..., 2] * jnp.maximum(scale, 1e-3)
+                return jax.image.resize(zd, (t, h, w), "bilinear")
+            cache[key] = run
+
+        if self._params is None:
+            f = jnp.zeros((t,) + self.work_hw + (3,))
+            m = jnp.zeros((t,) + self.work_hw)
+            # init with the 3-channel 'mono' slot = the point map, so
+            # the UNet's cond convs get the right channel count
+            self._params = jax.jit(self.model.init)(self._rng, f, m, f)
+        self._rng, sub = jax.random.split(self._rng)
+        return robust_call(cache[key], self._params, sub,
+                           jnp.asarray(frames_u8),
+                           jnp.asarray(prior_depth))
+
+    def infer_video(self, frames_u8, reference_depth):
+        t = frames_u8.shape[0]
+        outs = []
+        start = 0
+        step = max(self.window - self.overlap, 1)
+        while start < t:
+            idx = np.clip(np.arange(start, start + self.window), 0, t - 1)
+            d = self.infer_window(frames_u8[idx], reference_depth[idx])
+            n_new = min(self.window, t - start)
+            outs.append(d[:n_new])
+            if start + self.window >= t:
+                break
+            start += step
+        depth = vd.stitch_windows(outs, self.window, self.overlap, t) \
+            if len(outs) > 1 else to_host(outs[0])[:t]
+        # median-ratio rescale to the prior (the stabilizer refines
+        # geometry; the prior stays the metric anchor)
+        ref = np.asarray(reference_depth[:t], np.float32)
+        ok = (depth > 1e-3) & (ref > 1e-3)
+        ratio = np.median(ref[ok] / depth[ok]) if ok.any() else 1.0
+        depth = depth * float(ratio)
+        return np.clip(depth, 0, self.max_depth).astype(np.float32)
+
+
+@register_engine("geometrycrafter")
+def run_geometrycrafter(color_video, max_depth=100.0, max_frames=-1,
+                        engine=None, reference_depth_video=None,
+                        xfov=None, **kw):
+    """Distinct engine: stabilize a prior (reference depth video, or a
+    MoGe-class single-frame pass when absent — the reference's default
+    prior, geometrycrafter_video.py:101-153)."""
+    frames, fps = vio.read_video_frames(color_video, max_frames=max_frames)
+    if reference_depth_video and vio.is_valid_video(reference_depth_video):
+        r = vio.DepthVideoReader(reference_depth_video, max_depth)
+        prior = r.read_depth_batch(frames.shape[0])
+        r.close()
+    else:
+        moge = SingleFrameEngine(max_depth=max_depth, variant="moge",
+                                 xfov=xfov,
+                                 **{k: v for k, v in kw.items()
+                                    if k in ("size", "input_size")})
+        prior = moge.infer_video(frames)
+    eng = engine or GeometryCrafterEngine(max_depth=max_depth, xfov=xfov,
+                                          **kw)
+    depth = eng.infer_video(frames, prior)
+    out = color_video + "_depth.mkv"
+    vio.save_depth_video(depth, out, fps, max_depth)
+    return out
 
 
 @register_engine("depthcrafter")
@@ -637,4 +777,5 @@ def run_mvsa(color_video, max_depth=100.0, max_frames=-1, engine=None,
 
 _ENGINE_CLASSES["da3"] = DA3PipelineEngine
 _ENGINE_CLASSES["depthcrafter"] = DepthCrafterEngine
+_ENGINE_CLASSES["geometrycrafter"] = GeometryCrafterEngine
 _ENGINE_CLASSES["mvsa"] = MVSEngine

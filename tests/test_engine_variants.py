@@ -72,6 +72,28 @@ def test_unik3d_reestimates_focal(rng):
     assert np.isfinite(fovs).all()
 
 
+def test_geometrycrafter_is_distinct_pointmap_engine(tmp_path, rng):
+    """GeometryCrafter is its own engine (not a depthcrafter alias):
+    prior depth -> point maps -> point-map-conditioned diffusion, Z
+    channel out, median-rescaled to the prior."""
+    from metric_depth_video_toolbox_tpu.models import diffusion as dif
+
+    assert "geometrycrafter" in dstage.ENGINES
+    assert dstage.ENGINES["geometrycrafter"] is not \
+        dstage.ENGINES["depthcrafter"]
+
+    eng = dstage.GeometryCrafterEngine(
+        cfg=dif.DIFFUSION_TINY, window=4, overlap=1,
+        work_hw=(32, 32), xfov=60.0, max_depth=100.0)
+    frames = rng.integers(0, 255, (4, 32, 32, 3)).astype(np.uint8)
+    prior = rng.uniform(2.0, 10.0, (4, 32, 32)).astype(np.float32)
+    depth = eng.infer_video(frames, prior)
+    assert depth.shape == (4, 32, 32)
+    assert np.isfinite(depth).all()
+    # median-rescaled to the prior: medians agree
+    assert abs(np.median(depth) / np.median(prior) - 1.0) < 0.2
+
+
 def test_movie_step2_warns_on_unknown_engine(tmp_path, capsys, monkeypatch):
     from metric_depth_video_toolbox_tpu.pipeline import movie
 

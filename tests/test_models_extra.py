@@ -85,10 +85,26 @@ def test_da3_model_outputs(rng):
     assert out["w2c"].shape == (3, 4, 4)
     fov = np.asarray(out["xfov_deg"])
     assert ((fov > 40) & (fov < 90)).all()
-    # w2c rotations are orthonormal
+    # w2c rotations are orthonormal (quaternion camera head)
     r = np.asarray(out["w2c"])[:, :3, :3]
     eye = np.einsum("nij,nkj->nik", r, r)
     assert np.allclose(eye, np.eye(3)[None], atol=1e-4)
+    # DA3 ray head: per-pixel unit directions, +z hemisphere
+    rays = np.asarray(out["rays"])
+    assert rays.shape == (3, 28, 28, 3)
+    assert np.allclose(np.linalg.norm(rays, axis=-1), 1.0, atol=1e-3)
+    assert (rays[..., 2] >= 0).all()
+
+
+def test_da3_production_default_is_vitl_class():
+    """Reference default engine is DA3 nested-giant-large
+    (video_da3.py:274); our engine must not default to a toy."""
+    import metric_depth_video_toolbox_tpu.models.vit as vit_mod
+    assert da3_mod.DA3_L.vit.embed_dim == vit_mod.VIT_L.embed_dim
+    e = da3_mod.DA3Engine(params={"dummy": 0})  # no init at this size
+    assert e.cfg is da3_mod.DA3_L
+    assert da3_mod.preset("vitl") is da3_mod.DA3_L
+    assert da3_mod.preset("vitt") is da3_mod.DA3_TINY
 
 
 def test_da3_engine_windowed(rng):

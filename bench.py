@@ -35,6 +35,10 @@ def _synth_batch(rng, b):
 
 
 def bench_stereo(jit_warm=True):
+    """Device stereo step in the MOVIE-PIPELINE configuration: edge-point
+    splatting + infill-mask emission ON (movie step5 defaults; the
+    reference hot path includes both, stereo_rerender.py:589-607,
+    740-817)."""
     import jax
     import jax.numpy as jnp
 
@@ -45,8 +49,8 @@ def bench_stereo(jit_warm=True):
     depth, color = _synth_batch(rng, BATCH)
     cfg = stereo.StereoConfig(width=W, height=H, out_width=W, out_height=H,
                               max_depth=100.0, remove_edges=True,
-                              place_edge_points=False,
-                              make_infill_mask=False,
+                              place_edge_points=True,
+                              make_infill_mask=True,
                               warp_method="sweep", has_convergence=True)
     k = np.asarray(geo.camera_matrix_from_fov(W, H, xfov_deg=60.0),
                    np.float32)
@@ -58,7 +62,9 @@ def bench_stereo(jit_warm=True):
     # before execution completes, so only a data dependency is truthful
     vstep = jax.vmap(partial(stereo.stereo_frame, cfg=cfg),
                      in_axes=(0, 0, None, None, None, None, None))
-    step = jax.jit(lambda *a: vstep(*a)["image"].astype(jnp.int32).sum())
+    step = jax.jit(lambda *a: (
+        lambda o: (o["image"].astype(jnp.int32).sum()
+                   + o["infill_mask"].astype(jnp.int32).sum()))(vstep(*a)))
     args = (jnp.asarray(depth_rgb), jnp.asarray(color), jnp.asarray(k),
             jnp.asarray(k), jnp.eye(4), jnp.asarray(2.0), jnp.asarray(1.0))
     _ = float(np.asarray(step(*args)))
@@ -67,6 +73,45 @@ def bench_stereo(jit_warm=True):
         _ = float(np.asarray(step(*args)))
     dt = time.perf_counter() - t0
     return BATCH * ITERS / dt
+
+
+def bench_e2e_file_to_file(n_frames=24):
+    """True end-to-end stereo stage: FFV1 files in -> SBS + infill-mask
+    FFV1 files out through the real driver (async prefetch decode +
+    async encode), wall-clock. This is the number the movie pipeline
+    actually experiences per scene (host I/O included)."""
+    import tempfile
+
+    import jax.numpy as jnp
+    import jax
+
+    from metric_depth_video_toolbox_tpu.io import video as vio
+    from metric_depth_video_toolbox_tpu.ops import codec
+    from metric_depth_video_toolbox_tpu.pipeline import stereo
+
+    rng = np.random.default_rng(2)
+    depth, color = _synth_batch(rng, 4)
+    enc = jax.jit(lambda d: codec.encode_depth_frame(d, 100.0))
+    depth_rgb = np.asarray(enc(jnp.asarray(depth)))
+    with tempfile.TemporaryDirectory() as td:
+        dpath = td + "/bench_depth.mkv"
+        cpath = td + "/bench_color.mkv"
+        reps = (n_frames + 3) // 4
+        vio.save_rgb_video(np.tile(depth_rgb, (reps, 1, 1, 1))[:n_frames],
+                           dpath, 24)
+        vio.save_rgb_video(np.tile(color, (reps, 1, 1, 1))[:n_frames],
+                           cpath, 24)
+        # warm compile outside the timed window (first jit of the step)
+        stereo.render_stereo_video(
+            dpath, cpath, output=td + "/warm.mkv", xfov=60.0,
+            max_depth=100.0, infill_mask=True, batch_size=8,
+            max_frames=8)
+        t0 = time.perf_counter()
+        stereo.render_stereo_video(
+            dpath, cpath, output=td + "/out.mkv", xfov=60.0,
+            max_depth=100.0, infill_mask=True, batch_size=8)
+        dt = time.perf_counter() - t0
+    return n_frames / dt
 
 
 def bench_depth_inference(size="vits", batch=None, hw=(14 * 37, 14 * 66)):
@@ -119,13 +164,23 @@ def bench_reference_equivalent_numpy(n_frames=3):
             img = np.zeros((H * W, 3), np.uint8)
             win = z[ok] <= zbuf[flat] + 1e-3
             img[flat[win]] = color[ok][win]
+            # infill-mask emission (the reference hot path also builds
+            # the disocclusion mask, stereo_rerender.py:740-817)
+            hole = ~np.isfinite(zbuf)
+            mask = np.zeros((H * W, 3), np.uint8)
+            mask[hole] = (0, 0, 255)
         times.append(time.perf_counter() - t0)
     return 1.0 / float(np.median(times))
 
 
 def main():
-    stereo_fps = bench_stereo()
+    stereo_fps = bench_stereo()  # movie config: edge points + mask ON
     depth_fps = bench_depth_inference("vitl")  # DEPTH_BATCH
+    try:
+        e2e_fps = bench_e2e_file_to_file()
+    except Exception as e:  # never lose the headline to an IO hiccup
+        print(f"# e2e bench failed: {e}")
+        e2e_fps = float("nan")
     combined = 1.0 / (1.0 / stereo_fps + 1.0 / depth_fps)
     ref_fps = bench_reference_equivalent_numpy(n_frames=5)
     # reference pipeline also needs depth inference; its stereo path alone
@@ -136,8 +191,9 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(combined / ref_fps, 2),
         "detail": {
-            "stereo_render_fps": round(stereo_fps, 3),
+            "stereo_render_fps_movie_cfg": round(stereo_fps, 3),
             "depth_inference_fps_vitl_518": round(depth_fps, 3),
+            "e2e_file_to_file_stereo_fps": round(e2e_fps, 3),
             "reference_equiv_numpy_fps": round(ref_fps, 3),
         },
     }

@@ -22,6 +22,9 @@ def build_parser(parser=None):
     p.add_argument("--use_madpose", action="store_true",
                    help="hybrid pose+depth-scale solver")
     p.add_argument("--assume_stationary_camera", action="store_true")
+    p.add_argument("--diagnostics", action="store_true",
+                   help="forward-intersection triangulation residuals "
+                   "vs frame n-15 (reference align_3d_points.py:390-480)")
     return p
 
 
@@ -38,7 +41,8 @@ def run(args):
         args.depth_video, args.track_file, xfov=args.xfov, yfov=args.yfov,
         max_depth=args.max_depth, solver=solver,
         mask_video=args.mask_video, strict_mask=args.strict_mask,
-        max_frames=args.max_frames, color_video=args.color_video)
+        max_frames=args.max_frames, color_video=args.color_video,
+        diagnostics=args.diagnostics)
     print(f"transformations saved: {out}")
     return out
 

@@ -142,21 +142,50 @@ class PrefetchingBatchReader:
         self._q = queue.Queue(maxsize=depth)
         self._transform = transform
         self._batch_size = batch_size
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._work, daemon=True)
         self._thread.start()
 
     def _work(self):
         try:
-            while True:
+            while not self._stop.is_set():
                 batch = self.reader.read_batch(self._batch_size)
                 if batch is None:
                     break
                 if self._transform is not None:
                     batch = self._transform(batch)
-                self._q.put(batch)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
         finally:
-            self._q.put(None)
+            # the EOF sentinel must not be dropped: block (with stop
+            # checks) until there is room for it
+            while not self._stop.is_set():
+                try:
+                    self._q.put(None, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
             self.reader.close()
+
+    def read_batch(self, batch_size=None):
+        """Pop the next prefetched batch (decode overlapped with the
+        caller's device work); VideoReader-interface compatible — the
+        batch size is fixed at construction."""
+        return self._q.get()
+
+    def close(self):
+        """Stop the decode thread early (e.g. max_frames reached)."""
+        self._stop.set()
+        while True:  # drain so the worker can exit a blocked put
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=5.0)
 
     def __iter__(self):
         while True:
@@ -164,6 +193,44 @@ class PrefetchingBatchReader:
             if batch is None:
                 return
             yield batch
+
+
+class AsyncVideoWriter:
+    """Background-thread writer: FFV1 encode of batch N overlaps device
+    compute on batch N+1 (paired with PrefetchingBatchReader this makes
+    the stereo driver's host I/O fully asynchronous — SURVEY.md §7 hard
+    part (e): ~10 GB/min lossless streams must not starve the chip)."""
+
+    def __init__(self, path, fps, width, height, codec_fourcc=FFV1,
+                 depth=8):
+        self.writer = VideoWriter(path, fps, width, height, codec_fourcc)
+        self._q = queue.Queue(maxsize=depth)
+        self._err = None
+        self._thread = threading.Thread(target=self._work, daemon=True)
+        self._thread.start()
+
+    def _work(self):
+        while True:
+            frame = self._q.get()
+            if frame is None:
+                return
+            try:
+                self.writer.write(frame)
+            except Exception as e:  # surfaced at commit()/write()
+                self._err = e
+                return
+
+    def write(self, frame_rgb):
+        if self._err is not None:
+            raise self._err
+        self._q.put(frame_rgb)
+
+    def commit(self, expected_frames=None):
+        self._q.put(None)
+        self._thread.join()
+        if self._err is not None:
+            raise self._err
+        return self.writer.commit(expected_frames)
 
 
 # ---------------------------------------------------------------------------

@@ -189,7 +189,11 @@ def lk_track_clip(frames_u8, pts0, valid0, levels=3, radius=4, iters=6,
 
 
 # ---------------------------------------------------------------------------
-# Learned tracker (CoTracker-class), weight-convertible
+# Learned tracker (CoTracker-class role). NOTE: this is an original
+# lightweight design (correlation + MLP refinement), NOT the CoTracker3
+# architecture — upstream checkpoints do not map onto it. The production
+# tracking path is the pyramidal-LK scan above; CoTrackerLite exists as
+# the learned-tracker capability slot.
 # ---------------------------------------------------------------------------
 
 class ConvFeatureNet(nn.Module):

@@ -85,6 +85,27 @@ def gaussian_kernel_1d(ksize, sigma=0.0):
     return k / jnp.sum(k)
 
 
+def _sep_filter_chw(x, k1):
+    """Separable zero-padded filter over the last two axes (H, W) via
+    shift-adds — pure VPU elementwise work. The NCHW single-channel conv
+    lowering measured ~10x slower at the mask-loop shapes on TPU (tiny
+    feature counts waste the MXU; here W rides the lane dimension)."""
+    k = k1.shape[0]
+    r = k // 2
+    for axis in (x.ndim - 2, x.ndim - 1):
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (r, k - 1 - r)
+        xp = jnp.pad(x, pad)
+        acc = None
+        for i in range(k):
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(i, i + x.shape[axis])
+            term = k1[i] * xp[tuple(sl)]
+            acc = term if acc is None else acc + term
+        x = acc
+    return x
+
+
 def _conv2d_same(img_hwc, kernel_hw, border_zero=True):
     """Depthwise 2D convolution with zero padding ('BORDER_ISOLATED')."""
     c = img_hwc.shape[-1]
@@ -112,8 +133,8 @@ def gaussian_blur(img, ksize, sigma=0.0):
     squeeze = img.ndim == 2
     if squeeze:
         img = img[..., None]
-    out = _conv2d_same(img, k1[:, None])
-    out = _conv2d_same(out, k1[None, :])
+    out = _sep_filter_chw(img.astype(jnp.float32).transpose(2, 0, 1), k1)
+    out = out.transpose(1, 2, 0)
     if jnp.issubdtype(img.dtype, jnp.integer):
         out = jnp.clip(jnp.round(out), 0, 255).astype(img.dtype)
     return out[..., 0] if squeeze else out
@@ -129,9 +150,9 @@ def masked_blur(img, ksize=6, sigma=0.0, valid_mask=None):
         valid_mask = jnp.any(imf != 0, axis=-1)
     v = valid_mask.astype(jnp.float32)
     g1 = gaussian_kernel_1d(ksize, sigma)
-    kern = g1[:, None] * g1[None, :]
-    num = _conv2d_same(imf * v[..., None], kern)
-    den = filter2d(v, kern)
+    num = _sep_filter_chw((imf * v[..., None]).transpose(2, 0, 1), g1)
+    num = num.transpose(1, 2, 0)
+    den = _sep_filter_chw(v, g1)
     safe = jnp.where(den == 0, 1.0, den)
     out = num / safe[..., None]
     out = jnp.where((den == 0)[..., None], 0.0, out)
@@ -187,20 +208,21 @@ def inpaint_diffusion(img, hole_mask, iterations=64, ksize=3):
         squeeze = False
     valid = (~hole_mask).astype(jnp.float32)
     g1 = gaussian_kernel_1d(ksize, 0.0)
-    kern = g1[:, None] * g1[None, :]
 
+    # loop state lives in (C, H, W): W in lanes, filters as shift-adds
     def body(_, carry):
         cur, v = carry
-        num = _conv2d_same(cur * v[..., None], kern)
-        den = filter2d(v, kern)
-        cand = num / jnp.where(den == 0, 1.0, den)[..., None]
+        num = _sep_filter_chw(cur * v[None], g1)
+        den = _sep_filter_chw(v, g1)
+        cand = num / jnp.where(den == 0, 1.0, den)[None]
         newly = (v == 0) & (den > 0)
-        cur = jnp.where(newly[..., None], cand, cur)
+        cur = jnp.where(newly[None], cand, cur)
         v = jnp.where(newly, 1.0, v)
         return cur, v
 
-    out, _ = jax.lax.fori_loop(0, iterations, body,
-                               (imf * valid[..., None], valid))
+    x0 = (imf * valid[..., None]).transpose(2, 0, 1)
+    out, _ = jax.lax.fori_loop(0, iterations, body, (x0, valid))
+    out = out.transpose(1, 2, 0)
     out = jnp.where(hole_mask[..., None] | (valid[..., None] > 0), out, imf)
     if jnp.issubdtype(img.dtype, jnp.integer):
         out = jnp.clip(jnp.round(out), 0, 255).astype(img.dtype)
@@ -246,11 +268,11 @@ def inpaint_diffusion_multiscale(img, hole_mask, coarse_iters=24,
 def _refine_inpaint(img, hole_mask, iterations):
     """Jacobi smoothing of the hole region against its boundary."""
     g1 = gaussian_kernel_1d(3, 0.0)
-    kern = g1[:, None] * g1[None, :]
-    m = hole_mask[..., None]
+    m = hole_mask[None]
 
     def body(_, cur):
-        blurred = _conv2d_same(cur, kern)
+        blurred = _sep_filter_chw(cur, g1)
         return jnp.where(m, blurred, cur)
 
-    return jax.lax.fori_loop(0, iterations, body, img)
+    out = jax.lax.fori_loop(0, iterations, body, img.transpose(2, 0, 1))
+    return out.transpose(1, 2, 0)

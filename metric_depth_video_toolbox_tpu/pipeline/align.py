@@ -140,15 +140,23 @@ def solve_pair_stationary(pts_2d, ref_2d, depth_cur, depth_ref, k, valid):
                                    zero_centroid=True)
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "hypotheses"))
 def solve_pair_hybrid(pts_2d, ref_2d, depth_cur, depth_ref, k, valid,
-                      iters=6):
-    """Joint pose + per-frame depth scale (madpose-class capability,
-    reference :244-264): alternate a closed-form depth-scale fit with a
-    weighted Kabsch solve. Scale-only by design — a free depth *offset*
-    is degenerate with camera z-translation without reprojection
-    constraints (madpose breaks the tie with its epipolar cost; the
-    reference itself only consumes pose + the scale sanity value).
+                      iters=6, hypotheses=64, inlier_px=6.0):
+    """Joint pose + per-frame depth scale with RANSAC (madpose-class
+    hybrid estimator, reference align_3d_points.py:123-147,244-264):
+
+    1. ``hypotheses`` vmapped minimal-set (3-point) Umeyama sim3 fits,
+       sampled from the valid tracks (fixed fan-out — TPU-friendly
+       RANSAC, same pattern as the PnP solver in ops.solvers);
+    2. each hypothesis scored by 2D REPROJECTION inlier count
+       (madpose's hybrid cost reprojects; pure 3D transfer error would
+       let depth outliers vote);
+    3. final weighted Umeyama on the best hypothesis's inliers.
+
+    Scale-only by design — a free depth *offset* is degenerate with
+    camera z-translation without epipolar constraints; the reference
+    itself only consumes pose + the scale sanity value.
     Returns (4x4 transform, scale).
     """
     del iters
@@ -156,10 +164,45 @@ def solve_pair_hybrid(pts_2d, ref_2d, depth_cur, depth_ref, k, valid,
     z_ref = _sample_depth(depth_ref, ref_2d)
     p3 = geo.unproject_2d_points(pts_2d, z_cur, k)
     r3 = geo.unproject_2d_points(ref_2d, z_ref, k)
-    # Umeyama gives (s, R, t) jointly: target ~ s R source + t. The
-    # similarity scale IS the depth-scale estimate (scaling depth scales
-    # the whole unprojected cloud about the camera center).
-    s, r, t = solvers.umeyama_sim3(p3, r3, weights=valid)
+    n = p3.shape[0]
+
+    def reproj_inliers(s, r, t):
+        q = (s * (p3 @ r.T) + t)
+        z = jnp.maximum(q[:, 2], 1e-6)
+        u = q[:, 0] / z * k[0, 0] + k[0, 2]
+        v = q[:, 1] / z * k[1, 1] + k[1, 2]
+        err = jnp.hypot(u - ref_2d[:, 0], v - ref_2d[:, 1])
+        # hybrid cost: reprojection alone is blind to depth outliers
+        # (a wrong-depth point still projects near its track when the
+        # baseline is small) — madpose adds depth-consistency terms for
+        # exactly this reason; 5% relative 3D transfer error gates them
+        d3 = jnp.linalg.norm(q - r3, axis=-1) / jnp.maximum(
+            jnp.linalg.norm(r3, axis=-1), 1e-6)
+        return valid * (err < inlier_px) * (d3 < 0.05), err
+
+    # fixed-fanout minimal hypotheses
+    key = jax.random.PRNGKey(0)
+    logits = jnp.log(jnp.maximum(valid, 1e-9))
+    idx = jax.random.categorical(
+        key, jnp.broadcast_to(logits, (hypotheses * 3, n)), axis=-1)
+    idx = idx.reshape(hypotheses, 3)
+
+    def one_hyp(sel):
+        w3 = jnp.zeros(n).at[sel].add(1.0)
+        s, r, t = solvers.umeyama_sim3(p3, r3, weights=w3)
+        inl, _ = reproj_inliers(s, r, t)
+        return jnp.sum(inl)
+
+    scores = jax.vmap(one_hyp)(idx)
+    best = idx[jnp.argmax(scores)]
+    w3 = jnp.zeros(n).at[best].add(1.0)
+    s0, r0, t0 = solvers.umeyama_sim3(p3, r3, weights=w3)
+    inl, _ = reproj_inliers(s0, r0, t0)
+    # degenerate guard: if the best hypothesis has too few inliers, fall
+    # back to all valid tracks (small-motion pairs are near-degenerate
+    # for minimal sets but fine globally)
+    use = jnp.where(jnp.sum(inl) >= 8, inl, valid)
+    s, r, t = solvers.umeyama_sim3(p3, r3, weights=use)
     m = jnp.eye(4, dtype=jnp.float32)
     m = m.at[:3, :3].set(r).at[:3, 3].set(t)
     return m, s
@@ -172,10 +215,54 @@ SOLVERS = {
 }
 
 
+def _triangulation_diagnostics(cur, cur_z, past, past_z, t_cur, t_past, k):
+    """Forward-intersection residuals vs an earlier frame (reference
+    align_3d_points.py:390-480): per-track ray angle, law-of-sines
+    triangulated range, and residual against the measured depth range.
+    Returns a per-frame stats dict or None (degenerate geometry)."""
+    ok = (cur[:, 2] > 0) & (past[:, 2] > 0) & (cur_z > 1e-3) \
+        & (past_z > 1e-3)
+    if ok.sum() < 3:
+        return None
+    kk = np.asarray(k)
+
+    def world_rays(pts, t_c2w):
+        d = np.stack([(pts[:, 0] - kk[0, 2]) / kk[0, 0],
+                      (pts[:, 1] - kk[1, 2]) / kk[1, 1],
+                      np.ones(len(pts), np.float32)], axis=-1)
+        nrm = np.linalg.norm(d, axis=-1, keepdims=True)
+        return (d / nrm) @ t_c2w[:3, :3].T, nrm[:, 0]
+
+    d1, n1 = world_rays(cur[ok, :2], t_cur)
+    d2, _ = world_rays(past[ok, :2], t_past)
+    o1, o2 = t_cur[:3, 3], t_past[:3, 3]
+    baseline = o2 - o1
+    bl = float(np.linalg.norm(baseline))
+    if bl < 1e-6:
+        return None
+    bn = baseline / bl
+    gamma = np.arccos(np.clip((d1 * d2).sum(-1), -1, 1))  # ray angle
+    alpha = np.arccos(np.clip(d1 @ bn, -1, 1))
+    beta = np.arccos(np.clip(-(d2 @ bn), -1, 1))
+    # law of sines in the (o1, o2, P) triangle: range from camera 1
+    tri_r1 = bl * np.sin(beta) / np.maximum(np.sin(alpha + beta), 1e-6)
+    measured = cur_z[ok] * n1  # range along the ray
+    resid = np.abs(tri_r1 - measured)
+    return {
+        "n_common": int(ok.sum()),
+        "baseline_m": bl,
+        "median_ray_angle_deg": float(np.degrees(np.median(gamma))),
+        "median_measured_range_m": float(np.median(measured)),
+        "median_triangulated_range_m": float(np.median(tri_r1)),
+        "median_residual_m": float(np.median(resid)),
+    }
+
+
 def align_video(depth_video, tracking_file, xfov=None, yfov=None,
                 max_depth=100.0, solver="two_group", mask_video=None,
                 strict_mask=False, max_frames=-1, output=None,
-                max_tracks=4096, color_video=None):
+                max_tracks=4096, color_video=None, diagnostics=False,
+                diag_gap=15):
     """Host driver: stream depth frames, solve each consecutive pair,
     accumulate to frame 0's space, write ``*_transformations.json``.
 
@@ -235,11 +322,20 @@ def align_video(depth_video, tracking_file, xfov=None, yfov=None,
     to_ref_zero = np.eye(4, dtype=np.float32)
     prev_depth = None
     fr_n = 0
+    diag_hist = {}  # frame -> (dense row, sampled depths) for diag_gap
+    diag_stats = []
     while fr_n < t_total:
         rgb = dv.read_batch(1)
         if rgb is None:
             break
         depth = dec(jnp.asarray(rgb[0]))
+        if diagnostics:
+            dh = to_host(depth)
+            row = dense[fr_n]
+            xi = np.clip(row[:, 0].astype(int), 0, w - 1)
+            yi = np.clip(row[:, 1].astype(int), 0, h - 1)
+            diag_hist[fr_n] = (row, dh[yi, xi].astype(np.float32))
+            diag_hist.pop(fr_n - diag_gap - 1, None)
         if prev_depth is not None:
             cur = dense[fr_n]
             prev = dense[fr_n - 1]
@@ -251,6 +347,19 @@ def align_video(depth_video, tracking_file, xfov=None, yfov=None,
             if n_common >= 8:
                 to_ref_zero = to_ref_zero @ to_host(m)
             transforms.append(to_ref_zero.copy())
+            if diagnostics and (fr_n - diag_gap) in diag_hist:
+                past_row, past_z = diag_hist[fr_n - diag_gap]
+                cur_row, cur_z = diag_hist[fr_n]
+                st = _triangulation_diagnostics(
+                    cur_row, cur_z, past_row, past_z,
+                    transforms[fr_n], transforms[fr_n - diag_gap], k)
+                if st is not None:
+                    st["frame"] = fr_n
+                    diag_stats.append(st)
+                    print(f"frame {fr_n}: tri-residual "
+                          f"{st['median_residual_m']:.3f} m over "
+                          f"{st['n_common']} tracks, ray angle "
+                          f"{st['median_ray_angle_deg']:.2f} deg")
         if dbg_writer is not None:
             cb = cvr.read_batch(1)
             frame = (cb[0].copy() if cb is not None
@@ -287,4 +396,14 @@ def align_video(depth_video, tracking_file, xfov=None, yfov=None,
 
     output = output or (depth_video + "_transformations.json")
     sidecar.save_transformations(output, np.asarray(transforms[:t_total]))
+    if diagnostics:
+        import json
+        with open(output + "_diagnostics.json", "w") as f:
+            json.dump(diag_stats, f)
+        if diag_stats:
+            med = float(np.median([s["median_residual_m"]
+                                   for s in diag_stats]))
+            print(f"triangulation diagnostics: {len(diag_stats)} frame "
+                  f"pairs, overall median residual {med:.3f} m "
+                  f"(saved {output}_diagnostics.json)")
     return output

@@ -182,7 +182,7 @@ def render_eye(depth, color, k, render_k, transform, eye_shift_m,
                 edge_depth, payload, k,
                 m_eye if rotate_conv else
                 geo.translation_matrix(-eye_shift_m, 0.0, 0.0),
-                num_planes=cfg.num_planes // 2,
+                num_planes=cfg.num_planes // 4,
                 remove_edges=False,
                 neutralize_rotation=rotate_conv,
                 conv_inv_z=0.0 if rotate_conv else conv_inv_z)
@@ -437,34 +437,47 @@ def render_stereo_video(depth_video, color_video=None, output=None,
     if convergence_depths is not None:
         convergence_depths = smooth_convergence(convergence_depths)
 
-    step = jax.jit(
-        jax.vmap(partial(stereo_frame, cfg=cfg),
-                 in_axes=(0, 0, 0, 0, 0, 0, 0)))
+    step = _cached_step(cfg)
 
     eq_map = None
 
-    writer = vio.VideoWriter(
-        output, dv.fps, *out_size,
+    # async host I/O: decode of batch N+1 and FFV1 encode of batch N-1
+    # overlap the device compute on batch N (SURVEY.md §7 hard part (e);
+    # the synchronous path measured decode-bound at 1080p)
+    fps = dv.fps
+    total = dv.frame_count if max_frames < 0 else min(max_frames,
+                                                      dv.frame_count)
+    dv.close()
+    if cv is not None:
+        cv.close()
+    dv = vio.PrefetchingBatchReader(depth_video, batch_size,
+                                    max_frames=max_frames)
+    cv = (vio.PrefetchingBatchReader(color_video, batch_size)
+          if color_video else None)
+
+    writer = vio.AsyncVideoWriter(
+        output, fps, *out_size,
         codec_fourcc="mp4v" if compressed else "FFV1")
-    mask_writer = (vio.VideoWriter(output + "_infillmask.mkv", dv.fps,
-                                   *out_size) if infill_mask else None)
-    depth_writer = (vio.VideoWriter(output + "_depth.mkv", dv.fps,
-                                    out_w * 2, out_h)
+    mask_writer = (vio.AsyncVideoWriter(output + "_infillmask.mkv", fps,
+                                        *out_size) if infill_mask else None)
+    depth_writer = (vio.AsyncVideoWriter(output + "_depth.mkv", fps,
+                                         out_w * 2, out_h)
                     if create_sbs_depth else None)
 
     frame_n = 0
-    total = dv.frame_count if max_frames < 0 else min(max_frames,
-                                                      dv.frame_count)
-    enc_depth = jax.jit(lambda d: codec.encode_depth_frame(d, max_depth))
+    enc_depth = _cached_enc(max_depth)
     try:
         while True:
             depth_rgb = dv.read_batch(batch_size)
             if depth_rgb is None:
                 break
-            b = depth_rgb.shape[0]
-            color = (cv.read_batch(b) if cv is not None else depth_rgb)
-            if color is None or color.shape[0] < b:
+            color = (cv.read_batch(batch_size) if cv is not None
+                     else depth_rgb)
+            if color is None:
                 break
+            b = min(depth_rgb.shape[0], color.shape[0])
+            depth_rgb = depth_rgb[:b]
+            color = color[:b]
 
             ks, rks, tfs, convs, scales = [], [], [], [], []
             for i in range(b):
@@ -532,6 +545,31 @@ def render_stereo_video(depth_video, color_video=None, output=None,
     if depth_writer is not None:
         depth_writer.commit(frame_n)
     return output
+
+
+_STEP_CACHE = {}
+_ENC_CACHE = {}
+
+
+def _cached_enc(max_depth):
+    enc = _ENC_CACHE.get(max_depth)
+    if enc is None:
+        enc = jax.jit(lambda d: codec.encode_depth_frame(d, max_depth))
+        _ENC_CACHE[max_depth] = enc
+    return enc
+
+
+def _cached_step(cfg):
+    """Jitted batched stereo step, cached by config: a fresh jax.jit
+    closure per render call would RECOMPILE the whole program every
+    scene (measured ~100 s per movie scene on the remote-compile
+    runtime)."""
+    step = _STEP_CACHE.get(cfg)
+    if step is None:
+        step = jax.jit(jax.vmap(partial(stereo_frame, cfg=cfg),
+                                in_axes=(0, 0, 0, 0, 0, 0, 0)))
+        _STEP_CACHE[cfg] = step
+    return step
 
 
 def yf_or_none(xf, yfov):

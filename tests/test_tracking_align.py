@@ -133,3 +133,58 @@ def test_hybrid_solver_recovers_translation_and_scale(rng):
     assert abs(float(scale) - scale_err) < 0.07
     assert np.allclose(m[:3, 3], t_gt, atol=0.08)
     assert np.allclose(m[:3, :3], np.eye(3), atol=2e-2)
+
+
+def test_hybrid_solver_rejects_outliers(rng):
+    """RANSAC behavior (madpose-class, reference align_3d_points.py:
+    123-147): 30% of the current depth samples corrupted by large
+    errors must not drag the pose; a plain global Umeyama would."""
+    h, w = 48, 64
+    k, ref_pts = _make_pair_scene(rng, h, w)
+    t_gt = np.array([0.1, 0.04, -0.12], np.float32)
+    cur_pts = ref_pts - t_gt
+    uv_cur = _project(cur_pts, k)
+    uv_ref = _project(ref_pts, k)
+    corrupted = cur_pts.copy()
+    n = corrupted.shape[0]
+    bad = rng.random(n) < 0.3
+    corrupted[bad, 2] *= rng.uniform(2.0, 5.0, bad.sum())  # gross errors
+    depth_cur, ok_c = _fill_depth(corrupted, uv_cur, h, w)
+    depth_ref, ok_r = _fill_depth(ref_pts, uv_ref, h, w)
+    valid = (ok_c & ok_r).astype(np.float32)
+    m, scale = align_mod.solve_pair_hybrid(
+        jnp.asarray(uv_cur), jnp.asarray(uv_ref), jnp.asarray(depth_cur),
+        jnp.asarray(depth_ref), jnp.asarray(k), jnp.asarray(valid))
+    m = np.asarray(m)
+    assert np.allclose(m[:3, 3], t_gt, atol=0.05)
+    assert abs(float(scale) - 1.0) < 0.08
+
+
+def test_triangulation_diagnostics_consistent_geometry(rng):
+    """Perfect synthetic two-view geometry -> near-zero triangulation
+    residual; the measured and triangulated ranges agree."""
+    h, w = 48, 64
+    k = np.asarray(geo.camera_matrix_from_fov(w, h, xfov_deg=60.0),
+                   np.float32)
+    pts3 = np.stack([rng.uniform(-1, 1, 40), rng.uniform(-0.8, 0.8, 40),
+                     rng.uniform(4, 9, 40)], -1).astype(np.float32)
+    t_cur = np.eye(4, dtype=np.float32)
+    t_past = np.eye(4, dtype=np.float32)
+    t_past[:3, 3] = [0.5, 0.0, 0.0]  # baseline 0.5 m
+    # observations: project points into each camera (w2c = inv(c2w))
+    def obs(t_c2w):
+        w2c = np.linalg.inv(t_c2w)
+        pc = pts3 @ w2c[:3, :3].T + w2c[:3, 3]
+        uv = pc[:, :2] / pc[:, 2:3] * [k[0, 0], k[1, 1]] \
+            + [k[0, 2], k[1, 2]]
+        row = np.concatenate([uv, np.ones((40, 1))], -1).astype(np.float32)
+        return row, pc[:, 2].astype(np.float32)
+    cur_row, cur_z = obs(t_cur)
+    past_row, past_z = obs(t_past)
+    st = align_mod._triangulation_diagnostics(
+        cur_row, cur_z, past_row, past_z, t_cur, t_past, k)
+    assert st is not None and st["n_common"] == 40
+    assert st["baseline_m"] == 0.5
+    assert st["median_residual_m"] < 0.02
+    assert abs(st["median_triangulated_range_m"]
+               - st["median_measured_range_m"]) < 0.05

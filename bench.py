@@ -21,7 +21,7 @@ import numpy as np
 H, W = 1080, 1920
 BATCH = 16
 ITERS = 6
-DEPTH_BATCH = 24
+DEPTH_BATCH = 32
 DEPTH_ITERS = 4
 
 

@@ -28,6 +28,11 @@ def build_parser(parser=None):
     p.add_argument("--external_command", type=str, nargs="+",
                    help="external infill engine command (the "
                         "stereo_dissoclusion_net hook)")
+    p.add_argument("--model_scale", choices=["tiny", "production"],
+                   default="production",
+                   help="diffusion UNet scale: 'production' = SVD-class "
+                        "widths (320/640/1280/1280, 5 steps) at the "
+                        "reference working points; 'tiny' = smoke model")
     p.add_argument("--checkpoint", type=str,
                    help="converted denoiser checkpoint")
     p.add_argument("--max_frames", default=-1, type=int)
@@ -67,8 +72,13 @@ def run(args):
                           if args.infill_engine == "diffusion"
                           else args.infill_engine)
                 if shared_engine is None:  # model loads once per batch
+                    from metric_depth_video_toolbox_tpu.models import \
+                        diffusion as dif
+                    cfg = (dif.DIFFUSION_SVD
+                           if args.model_scale == "production"
+                           else dif.DIFFUSION_TINY)
                     shared_engine = infill_diffusion.make_engine(
-                        preset, params=params)
+                        preset, cfg=cfg, params=params)
                 eng, drv = shared_engine
                 out = infill_diffusion.infill_sbs_video_diffusion(
                     v, mask, engine=eng, color_video=args.color_video,

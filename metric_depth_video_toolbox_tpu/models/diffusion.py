@@ -36,6 +36,11 @@ class DiffusionConfig:
     base_width: int = 128
     width_mults: Sequence[int] = (1, 2, 4)
     temporal: bool = True
+    # first down-level index that gets SPATIAL attention (temporal
+    # attention runs at every level): at the StereoCrafter working
+    # point the full-res latent is 96x128 = 12k tokens and quadratic
+    # spatial attention there dominates everything else
+    spatial_attn_min_level: int = 0
     num_steps: int = 5          # the reference engines all run ~5 steps
     sigma_min: float = 0.002
     sigma_max: float = 80.0
@@ -48,6 +53,14 @@ class DiffusionConfig:
 
 DIFFUSION_TINY = DiffusionConfig(base_width=16, width_mults=(1, 2),
                                  num_steps=2, dtype="float32")
+
+# Production config at the StereoCrafter working point (reference
+# stereo_crafter_infill.py:97-99: 25x1024x768 chunks, ~5 denoise steps,
+# 4-ch 8x VAE latents): SVD-class widths 320/640/1280/1280; spatial
+# attention from level 1 down (48x64 tokens); temporal attention at
+# every level.
+DIFFUSION_SVD = DiffusionConfig(base_width=320, width_mults=(1, 2, 4, 4),
+                                spatial_attn_min_level=1, num_steps=5)
 
 
 class VAE(nn.Module):
@@ -186,7 +199,8 @@ class UNet3D(nn.Module):
         for i, mult in enumerate(c.width_mults):
             wdt = c.base_width * mult
             x = ResBlock(wdt, dt, name=f"down{i}_res")(x, emb)
-            x = SpatialAttention(wdt, dt, name=f"down{i}_sattn")(x)
+            if i >= c.spatial_attn_min_level:
+                x = SpatialAttention(wdt, dt, name=f"down{i}_sattn")(x)
             if c.temporal:
                 x = TemporalAttention(wdt, dt, name=f"down{i}_tattn")(x)
             skips.append(x)
@@ -210,7 +224,8 @@ class UNet3D(nn.Module):
                         x.shape[3]), "nearest").astype(dt)
             x = jnp.concatenate([x, skip], axis=-1)
             x = ResBlock(wdt, dt, name=f"up{i}_res")(x, emb)
-            x = SpatialAttention(wdt, dt, name=f"up{i}_sattn")(x)
+            if i >= c.spatial_attn_min_level:
+                x = SpatialAttention(wdt, dt, name=f"up{i}_sattn")(x)
             if c.temporal:
                 x = TemporalAttention(wdt, dt, name=f"up{i}_tattn")(x)
 

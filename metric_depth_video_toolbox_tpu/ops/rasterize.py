@@ -417,7 +417,7 @@ def stereo_sweep_warp(depth, color, k, transform, num_planes=128,
                       remove_edges=True, edge_angle_deg=89.0,
                       max_disparity=256, neutralize_rotation=True,
                       conv_inv_z=0.0, min_depth=1e-2, tol_scale=1.6,
-                      interpret=None):
+                      interpret=None, edge=None):
     """Stereo re-rendering via the Pallas VMEM plane sweep.
 
     Valid when ``transform`` decomposes as (rotation R, translation t)
@@ -440,9 +440,15 @@ def stereo_sweep_warp(depth, color, k, transform, num_planes=128,
     r = transform[:3, :3]
     t = transform[:3, 3]
 
-    pts_cam = geo.unproject_depth(depth, k, of_by_one=False)
-    edge = (cell_edge_mask(pts_cam, edge_angle_deg) if remove_edges
-            else jnp.zeros((h, w), bool))
+    # edge mask is eye-invariant: callers rendering two eyes pass it in
+    # precomputed (saves an unprojection + cull per eye); the edge-only
+    # anchor pass passes remove_edges=False and skips the work entirely
+    if edge is None:
+        if remove_edges:
+            pts_cam = geo.unproject_depth(depth, k, of_by_one=False)
+            edge = cell_edge_mask(pts_cam, edge_angle_deg)
+        else:
+            edge = jnp.zeros((h, w), bool)
     valid_src = depth > min_depth
 
     fx, fy = k[0, 0], k[1, 1]

@@ -117,9 +117,14 @@ def _border_default_normals(mask_img, hole):
 
 
 def render_eye(depth, color, k, render_k, transform, eye_shift_m,
-               conv_angle, cfg: StereoConfig):
+               conv_angle, cfg: StereoConfig, shared=None):
     """Render one eye of one frame. Returns (image f32 [0,1], depth f32,
-    infill-mask normals image f32, hole mask bool)."""
+    infill-mask normals image f32, hole mask bool).
+
+    ``shared``: optional (edge_mask, normals) precomputed once per frame
+    — both are eye-invariant and cost an unprojection each, so the
+    two-eye caller computes them once."""
+    edge_pre, normals_pre = shared if shared is not None else (None, None)
     sign = jnp.where(eye_shift_m < 0, -1.0, 1.0)  # left eye: shift -x
     # mesh-space equivalent of the reference's rotate(-conv);translate(+ipd/2)
     m_eye = geo.translation_matrix(-eye_shift_m, 0.0, 0.0) @ \
@@ -143,7 +148,8 @@ def render_eye(depth, color, k, render_k, transform, eye_shift_m,
             num_planes=cfg.num_planes,
             remove_edges=cfg.remove_edges,
             neutralize_rotation=rotate_conv,
-            conv_inv_z=0.0 if rotate_conv else conv_inv_z)
+            conv_inv_z=0.0 if rotate_conv else conv_inv_z,
+            edge=edge_pre)
     elif cfg.warp_method == "plane_sweep":
         res = rasterize.plane_sweep_warp(
             depth, color, k, render_k, m_eye,
@@ -171,7 +177,8 @@ def render_eye(depth, color, k, render_k, transform, eye_shift_m,
         # (slow inside fused programs), run a SECOND sweep over an
         # edge-only depth map carrying [color, encoded normal] payloads —
         # same projection math, VMEM speed.
-        normals = geo.normals_from_depth(depth, k)
+        normals = normals_pre if normals_pre is not None \
+            else geo.normals_from_depth(depth, k)
         rot = m_eye[:3, :3]
         normals_t = jnp.einsum("ij,hwj->hwi", rot, normals)
         if cfg.warp_method == "sweep":
@@ -225,9 +232,14 @@ def render_eye(depth, color, k, render_k, transform, eye_shift_m,
             # (reference stereo_rerender.py:806-808: TELEA + masked blur)
             is_green = jnp.all(mask_img == GREEN, axis=-1)
             is_black = jnp.all(mask_img == 0.0, axis=-1)
+            # factor 8 + short refine: the normal field only needs to
+            # reach across the widest disocclusion (~disparity px); each
+            # coarse iter spans 8 px and the 5x5 masked blur below
+            # smooths the seams (measured 14 -> 6 ms/frame both eyes)
             filled = im.inpaint_diffusion_multiscale(
                 mask_img, is_green | is_black,
-                coarse_iters=cfg.inpaint_iters // 2, fine_iters=4)
+                coarse_iters=cfg.inpaint_iters // 3, fine_iters=2,
+                factor=8)
             mask_img = jnp.where(is_green[..., None], filled, mask_img)
             keep = ~jnp.all(mask_img == 0.0, axis=-1)
             mask_img = im.masked_blur(mask_img, ksize=5, valid_mask=keep)
@@ -262,10 +274,17 @@ def stereo_frame(depth_rgb, color, k, render_k, transform, conv_depth,
                      0.0)
     half = cfg.pupillary_distance_m / 2.0
 
+    shared = None
+    if cfg.warp_method == "sweep" and cfg.remove_edges:
+        pts_cam = geo.unproject_depth(depth, k, of_by_one=False)
+        shared = (rasterize.cell_edge_mask(pts_cam),
+                  geo.normals_from_depth(depth, k)
+                  if cfg.place_edge_points else None)
+
     if cfg.touchly1:
         # mono render over reversed depth panel (reference :548-552,677-702)
         img, dep, mask_img, hole = render_eye(
-            depth, colf, k, render_k, transform, 0.0, 0.0, cfg)
+            depth, colf, k, render_k, transform, 0.0, 0.0, cfg, shared)
         depth_panel = _touchly_depth8(dep, ~hole, cfg)
         image = jnp.concatenate(
             [(img * 255).astype(jnp.uint8), depth_panel], axis=0)
@@ -276,9 +295,9 @@ def stereo_frame(depth_rgb, color, k, render_k, transform, conv_depth,
                 "depth_left": dep, "depth_right": dep}
 
     left_img, left_dep, left_mask, _ = render_eye(
-        depth, colf, k, render_k, transform, -half, conv, cfg)
+        depth, colf, k, render_k, transform, -half, conv, cfg, shared)
     right_img, right_dep, right_mask, _ = render_eye(
-        depth, colf, k, render_k, transform, +half, conv, cfg)
+        depth, colf, k, render_k, transform, +half, conv, cfg, shared)
 
     panels = [(left_img * 255).astype(jnp.uint8),
               (right_img * 255).astype(jnp.uint8)]

@@ -31,7 +31,7 @@ from metric_depth_video_toolbox_tpu.utils.host import robust_call
 class DiffusionInfillEngine:
     def __init__(self, cfg=None, params=None, work_hw=(256, 256),
                  chunk=25, overlap=6, rng_seed=0,
-                 mono_conditioning=False):
+                 mono_conditioning=False, data_parallel=True):
         self.cfg = cfg or dif.DIFFUSION_TINY
         self.model = dif.VideoInpainter(self.cfg)
         self.work_hw = work_hw
@@ -40,6 +40,18 @@ class DiffusionInfillEngine:
         self.mono_conditioning = mono_conditioning
         self._params = params
         self._rng = jax.random.PRNGKey(rng_seed)
+        # chunk-time-axis sharding over a 1D mesh: spatial UNet work is
+        # pure DP over frames; the temporal attentions are the only
+        # cross-device ops (the 225-frame inspatio preset needs this —
+        # one chip cannot hold 225 latents of the production UNet)
+        self._mesh = None
+        if data_parallel and jax.device_count() > 1:
+            from metric_depth_video_toolbox_tpu.parallel import mesh as mm
+            n = jax.device_count()
+            while chunk % n:
+                n -= 1
+            if n > 1:
+                self._mesh = mm.frame_mesh(n)
 
     def _ensure(self):
         if self._params is None:
@@ -53,8 +65,15 @@ class DiffusionInfillEngine:
     def infill_chunk(self, frames_u8, hole_mask, mono_u8=None):
         """(T, H, W, 3) uint8 + (T, H, W) bool -> infilled uint8.
         ``mono_u8``: source-view conditioning frames (m2svid/inspatio
-        style) when the engine was built with mono_conditioning."""
+        style) when the engine was built with mono_conditioning.
+
+        With a mesh, the chunk's time axis shards over devices and the
+        temporal attention layers become the only cross-device ops."""
         self._ensure()
+        if self._mesh is not None:
+            from metric_depth_video_toolbox_tpu.parallel import sharding
+            self._params = jax.device_put(
+                self._params, sharding.replicated(self._mesh))
         t, h, w = frames_u8.shape[:3]
         wh, ww = self.work_hw
         use_mono = self.mono_conditioning
@@ -70,9 +89,9 @@ class DiffusionInfillEngine:
         if key in cache:  # avoid per-chunk retrace of a fresh def
             self._rng, sub = jax.random.split(self._rng)
             return robust_call(
-                cache[key], self._params, sub, jnp.asarray(frames_u8),
-                jnp.asarray(hole_mask),
-                jnp.asarray(mono_u8) if use_mono else None)
+                cache[key], self._params, sub, self._put(frames_u8),
+                self._put(hole_mask),
+                self._put(mono_u8) if use_mono else None)
 
         @jax.jit
         def run(params, rng, f_u8, m, mono_in):
@@ -111,9 +130,17 @@ class DiffusionInfillEngine:
 
         cache[key] = run
         self._rng, sub = jax.random.split(self._rng)
-        return robust_call(run, self._params, sub, jnp.asarray(frames_u8),
-                           jnp.asarray(hole_mask),
-                           jnp.asarray(mono_u8) if use_mono else None)
+        return robust_call(run, self._params, sub, self._put(frames_u8),
+                           self._put(hole_mask),
+                           self._put(mono_u8) if use_mono else None)
+
+    def _put(self, arr):
+        if self._mesh is None or arr is None:
+            return jnp.asarray(arr) if arr is not None else None
+        from metric_depth_video_toolbox_tpu.parallel import sharding
+        a = jnp.asarray(arr)
+        return jax.device_put(a, sharding.batch_sharding(self._mesh,
+                                                         a.ndim))
 
 
 def infill_sbs_video_diffusion(sbs_video, infill_mask_video, output=None,

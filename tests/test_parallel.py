@@ -121,3 +121,29 @@ def test_vda_window_shards_over_time_axis(rng):
     d_1 = eng_1.infer_video(frames)
     assert d_dp.shape == (10, 28, 28)
     assert np.abs(d_dp - d_1).mean() < 1e-2
+
+
+def test_infill_chunk_time_sharding_matches(rng):
+    """Diffusion infill with the chunk time axis sharded over the mesh
+    == unsharded output (the 225-frame inspatio preset's layout: DP over
+    frames, temporal attention crossing devices)."""
+    import numpy as np
+    from metric_depth_video_toolbox_tpu.models import diffusion as dif
+    from metric_depth_video_toolbox_tpu.pipeline import infill_diffusion
+
+    frames = rng.integers(0, 255, (8, 32, 32, 3)).astype(np.uint8)
+    mask = np.zeros((8, 32, 32), bool)
+    mask[:, :, 10:16] = True
+
+    base = infill_diffusion.DiffusionInfillEngine(
+        cfg=dif.DIFFUSION_TINY, work_hw=(32, 32), chunk=8, overlap=2,
+        data_parallel=False, rng_seed=7)
+    out_a = np.asarray(base.infill_chunk(frames, mask))
+
+    sharded = infill_diffusion.DiffusionInfillEngine(
+        cfg=dif.DIFFUSION_TINY, work_hw=(32, 32), chunk=8, overlap=2,
+        data_parallel=True, rng_seed=7, params=base._params)
+    assert sharded._mesh is not None, "8 virtual devices expected"
+    out_b = np.asarray(sharded.infill_chunk(frames, mask))
+    np.testing.assert_allclose(out_a.astype(np.float32),
+                               out_b.astype(np.float32), atol=2.0)

@@ -28,11 +28,15 @@ def build_parser(parser=None):
     p.add_argument("--external_command", type=str, nargs="+",
                    help="external infill engine command (the "
                         "stereo_dissoclusion_net hook)")
-    p.add_argument("--model_scale", choices=["tiny", "production"],
+    p.add_argument("--model_scale",
+                   choices=["tiny", "production", "svd"],
                    default="production",
-                   help="diffusion UNet scale: 'production' = SVD-class "
-                        "widths (320/640/1280/1280, 5 steps) at the "
-                        "reference working points; 'tiny' = smoke model")
+                   help="diffusion UNet scale: 'production' = TPU-native "
+                        "SVD-class widths (320/640/1280/1280, 5 steps) at "
+                        "the reference working points; 'svd' = the "
+                        "weight-exact StereoCrafter/SVD graph (models."
+                        "svd, loads converted SVD checkpoints); 'tiny' = "
+                        "smoke model")
     p.add_argument("--checkpoint", type=str,
                    help="converted denoiser checkpoint")
     p.add_argument("--max_frames", default=-1, type=int)
@@ -74,9 +78,14 @@ def run(args):
                 if shared_engine is None:  # model loads once per batch
                     from metric_depth_video_toolbox_tpu.models import \
                         diffusion as dif
-                    cfg = (dif.DIFFUSION_SVD
-                           if args.model_scale == "production"
-                           else dif.DIFFUSION_TINY)
+                    if args.model_scale == "svd":
+                        from metric_depth_video_toolbox_tpu.models import \
+                            svd as svdm
+                        cfg = svdm.SVDConfig()
+                    elif args.model_scale == "production":
+                        cfg = dif.DIFFUSION_SVD
+                    else:
+                        cfg = dif.DIFFUSION_TINY
                     shared_engine = infill_diffusion.make_engine(
                         preset, cfg=cfg, params=params)
                 eng, drv = shared_engine

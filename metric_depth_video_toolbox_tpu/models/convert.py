@@ -454,6 +454,197 @@ def convert_u2net(state_dict, cfg=None):
     return {"params": p}
 
 
+def conv3d(sd, prefix):
+    """torch Conv3d (out, in, kt, kh, kw) -> flax 3D Conv kernel
+    (kt, kh, kw, in, out)."""
+    w = _t(sd[prefix + ".weight"])
+    out = {"kernel": w.transpose(2, 3, 4, 1, 0)}
+    if prefix + ".bias" in sd:
+        out["bias"] = _t(sd[prefix + ".bias"])
+    return out
+
+
+def _mix(sd, prefix):
+    return {"mix_factor": _t(sd[prefix + ".mix_factor"]).reshape(())}
+
+
+def _resnet2d(sd, p):
+    out = {"norm1": layernorm(sd, p + ".norm1"),
+           "conv1": conv(sd, p + ".conv1"),
+           "norm2": layernorm(sd, p + ".norm2"),
+           "conv2": conv(sd, p + ".conv2")}
+    if p + ".time_emb_proj.weight" in sd:
+        out["time_emb_proj"] = linear(sd, p + ".time_emb_proj")
+    if p + ".conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = conv(sd, p + ".conv_shortcut")
+    return out
+
+
+def _resnet_temporal(sd, p):
+    out = {"norm1": layernorm(sd, p + ".norm1"),
+           "conv1": conv3d(sd, p + ".conv1"),
+           "norm2": layernorm(sd, p + ".norm2"),
+           "conv2": conv3d(sd, p + ".conv2")}
+    if p + ".time_emb_proj.weight" in sd:
+        out["time_emb_proj"] = linear(sd, p + ".time_emb_proj")
+    if p + ".conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = conv3d(sd, p + ".conv_shortcut")
+    return out
+
+
+def _st_resblock(sd, p):
+    return {"spatial_res_block": _resnet2d(sd, p + ".spatial_res_block"),
+            "temporal_res_block": _resnet_temporal(
+                sd, p + ".temporal_res_block"),
+            "time_mixer": _mix(sd, p + ".time_mixer")}
+
+
+def _attn_mod(sd, p):
+    return {"to_q": linear(sd, p + ".to_q"),
+            "to_k": linear(sd, p + ".to_k"),
+            "to_v": linear(sd, p + ".to_v"),
+            "to_out": linear(sd, p + ".to_out.0")}
+
+
+def _ff_mod(sd, p):
+    return {"proj": linear(sd, p + ".net.0.proj"),
+            "out": linear(sd, p + ".net.2")}
+
+
+def _basic_tblock(sd, p):
+    return {"norm1": layernorm(sd, p + ".norm1"),
+            "attn1": _attn_mod(sd, p + ".attn1"),
+            "norm2": layernorm(sd, p + ".norm2"),
+            "attn2": _attn_mod(sd, p + ".attn2"),
+            "norm3": layernorm(sd, p + ".norm3"),
+            "ff": _ff_mod(sd, p + ".ff")}
+
+
+def _temporal_tblock(sd, p):
+    out = _basic_tblock(sd, p)
+    out["norm_in"] = layernorm(sd, p + ".norm_in")
+    out["ff_in"] = _ff_mod(sd, p + ".ff_in")
+    return out
+
+
+def _transformer_st(sd, p, n_layers=1):
+    out = {"norm": layernorm(sd, p + ".norm"),
+           "proj_in": linear(sd, p + ".proj_in"),
+           "proj_out": linear(sd, p + ".proj_out"),
+           "time_pos_embed": {
+               "linear_1": linear(sd, p + ".time_pos_embed.linear_1"),
+               "linear_2": linear(sd, p + ".time_pos_embed.linear_2")},
+           "time_mixer": _mix(sd, p + ".time_mixer")}
+    for li in range(n_layers):
+        out[f"block{li}"] = _basic_tblock(
+            sd, f"{p}.transformer_blocks.{li}")
+        out[f"tblock{li}"] = _temporal_tblock(
+            sd, f"{p}.temporal_transformer_blocks.{li}")
+    return out
+
+
+def convert_svd_unet(state_dict, cfg):
+    """diffusers UNetSpatioTemporalConditionModel state dict (the SVD /
+    StereoCrafter UNet, reference stereo_crafter_infill.py:97-99) -> our
+    models.svd.SVDUNet params. ``cfg`` is an SVDConfig. Forward
+    equivalence proven in tests/test_weight_exact_svd.py against a torch
+    re-implementation of the diffusers graph."""
+    sd = state_dict
+    n = len(cfg.block_out_channels)
+    nl = cfg.transformer_layers_per_block
+    p = {"conv_in": conv(sd, "conv_in"),
+         "time_embedding": {
+             "linear_1": linear(sd, "time_embedding.linear_1"),
+             "linear_2": linear(sd, "time_embedding.linear_2")},
+         "add_embedding": {
+             "linear_1": linear(sd, "add_embedding.linear_1"),
+             "linear_2": linear(sd, "add_embedding.linear_2")},
+         "conv_norm_out": layernorm(sd, "conv_norm_out"),
+         "conv_out": conv(sd, "conv_out")}
+    for i in range(n):
+        db = f"down_blocks.{i}"
+        for j in range(cfg.layers_per_block):
+            p[f"down{i}_res{j}"] = _st_resblock(sd, f"{db}.resnets.{j}")
+            if i < n - 1:
+                p[f"down{i}_attn{j}"] = _transformer_st(
+                    sd, f"{db}.attentions.{j}", nl)
+        if i < n - 1:
+            p[f"down{i}_pool"] = conv(sd, f"{db}.downsamplers.0.conv")
+    p["mid_res0"] = _st_resblock(sd, "mid_block.resnets.0")
+    p["mid_res1"] = _st_resblock(sd, "mid_block.resnets.1")
+    p["mid_attn"] = _transformer_st(sd, "mid_block.attentions.0", nl)
+    for k in range(n):          # diffusers up_blocks.0 = coarsest
+        i = n - 1 - k           # our up{i} indexes by resolution level
+        ub = f"up_blocks.{k}"
+        for j in range(cfg.layers_per_block + 1):
+            p[f"up{i}_res{j}"] = _st_resblock(sd, f"{ub}.resnets.{j}")
+            if i < n - 1:
+                p[f"up{i}_attn{j}"] = _transformer_st(
+                    sd, f"{ub}.attentions.{j}", nl)
+        if i > 0:
+            p[f"up{i}_upconv"] = conv(sd, f"{ub}.upsamplers.0.conv")
+    return {"params": p}
+
+
+def _vae_attn(sd, p):
+    return {"group_norm": layernorm(sd, p + ".group_norm"),
+            "attn": _attn_mod(sd, p)}
+
+
+def convert_svd_vae(state_dict, cfg):
+    """diffusers AutoencoderKLTemporalDecoder state dict (the SVD VAE)
+    -> our models.svd.{SVDVAEEncoder, SVDVAEDecoder} params. Returns
+    {'encoder': {'params': ...}, 'decoder': {'params': ...}}."""
+    sd = state_dict
+    n = len(cfg.block_out_channels)
+    enc = {"conv_in": conv(sd, "encoder.conv_in"),
+           "conv_norm_out": layernorm(sd, "encoder.conv_norm_out"),
+           "conv_out": conv(sd, "encoder.conv_out"),
+           "quant_conv": conv(sd, "quant_conv")}
+    for i in range(n):
+        for j in range(cfg.layers_per_block):
+            enc[f"down{i}_res{j}"] = _resnet2d(
+                sd, f"encoder.down_blocks.{i}.resnets.{j}")
+        if i < n - 1:
+            enc[f"down{i}_pool"] = conv(
+                sd, f"encoder.down_blocks.{i}.downsamplers.0.conv")
+    enc["mid_res0"] = _resnet2d(sd, "encoder.mid_block.resnets.0")
+    enc["mid_res1"] = _resnet2d(sd, "encoder.mid_block.resnets.1")
+    enc["mid_attn"] = _vae_attn(sd, "encoder.mid_block.attentions.0")
+
+    dec = {"conv_in": conv(sd, "decoder.conv_in"),
+           "conv_norm_out": layernorm(sd, "decoder.conv_norm_out"),
+           "conv_out": conv(sd, "decoder.conv_out"),
+           "time_conv_out": conv3d(sd, "decoder.time_conv_out"),
+           "mid_attn": _vae_attn(sd, "decoder.mid_block.attentions.0")}
+    for j in range(cfg.layers_per_block):
+        dec[f"mid_res{j}"] = _st_resblock(
+            sd, f"decoder.mid_block.resnets.{j}")
+    for k in range(n):          # up_blocks.0 = coarsest = our up0
+        for j in range(cfg.layers_per_block + 1):
+            dec[f"up{k}_res{j}"] = _st_resblock(
+                sd, f"decoder.up_blocks.{k}.resnets.{j}")
+        if k < n - 1:
+            dec[f"up{k}_upconv"] = conv(
+                sd, f"decoder.up_blocks.{k}.upsamplers.0.conv")
+    return {"encoder": {"params": enc}, "decoder": {"params": dec}}
+
+
+def convert_stereocrafter(unet_sd, vae_sd, cfg=None, vae_cfg=None):
+    """StereoCrafter release = SVD UNet fine-tune + SVD VAE (reference
+    stereo_crafter_infill.py:97-99). Combines convert_svd_unet +
+    convert_svd_vae into one models.svd.SVDInpainter param tree."""
+    from metric_depth_video_toolbox_tpu.models import svd as svd_mod
+    cfg = cfg or svd_mod.SVDConfig()
+    vae_cfg = vae_cfg or svd_mod.SVDVAEConfig()
+    vae = convert_svd_vae(vae_sd, vae_cfg)
+    return {"params": {
+        "unet": convert_svd_unet(unet_sd, cfg)["params"],
+        "vae_encoder": vae["encoder"]["params"],
+        "vae_decoder": vae["decoder"]["params"],
+    }}
+
+
 def convert_torch_file(path, kind, cfg=None):
     """Load a torch checkpoint file (CPU) and convert by ``kind``."""
     import torch
@@ -475,6 +666,10 @@ def convert_torch_file(path, kind, cfg=None):
         return convert_u2net(sd, cfg)
     if kind in ("vda", "video_depth"):
         return convert_vda(sd, cfg)
+    if kind == "svd_unet":
+        return convert_svd_unet(sd, cfg)
+    if kind == "svd_vae":
+        return convert_svd_vae(sd, cfg)
     raise ValueError(f"unknown checkpoint kind: {kind}")
 
 

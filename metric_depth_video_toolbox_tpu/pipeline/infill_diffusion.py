@@ -31,9 +31,18 @@ from metric_depth_video_toolbox_tpu.utils.host import robust_call
 class DiffusionInfillEngine:
     def __init__(self, cfg=None, params=None, work_hw=(256, 256),
                  chunk=25, overlap=6, rng_seed=0,
-                 mono_conditioning=False, data_parallel=True):
+                 mono_conditioning=False, data_parallel=True,
+                 vae_cfg=None):
         self.cfg = cfg or dif.DIFFUSION_TINY
-        self.model = dif.VideoInpainter(self.cfg)
+        if hasattr(self.cfg, "cross_attention_dim"):
+            # SVDConfig -> the weight-exact StereoCrafter graph
+            # (models.svd); converted SVD/StereoCrafter checkpoints
+            # load via convert.convert_stereocrafter
+            from metric_depth_video_toolbox_tpu.models import svd as svdm
+            self.model = svdm.SVDInpainter(
+                self.cfg, vae_cfg or svdm.SVDVAEConfig())
+        else:
+            self.model = dif.VideoInpainter(self.cfg)
         self.work_hw = work_hw
         self.chunk = chunk
         self.overlap = overlap

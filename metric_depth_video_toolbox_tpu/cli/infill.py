@@ -39,6 +39,9 @@ def build_parser(parser=None):
                         "smoke model")
     p.add_argument("--checkpoint", type=str,
                    help="converted denoiser checkpoint")
+    p.add_argument("--clip_checkpoint", type=str,
+                   help="converted CLIP vision tower (models.clip) for "
+                        "SVD cross-attention conditioning")
     p.add_argument("--max_frames", default=-1, type=int)
     p.add_argument("--batch_size", default=4, type=int)
     return p
@@ -78,16 +81,22 @@ def run(args):
                 if shared_engine is None:  # model loads once per batch
                     from metric_depth_video_toolbox_tpu.models import \
                         diffusion as dif
+                    extra = {}
                     if args.model_scale == "svd":
                         from metric_depth_video_toolbox_tpu.models import \
                             svd as svdm
                         cfg = svdm.SVDConfig()
+                        if args.clip_checkpoint:
+                            from metric_depth_video_toolbox_tpu.models \
+                                import convert
+                            extra["clip_params"] = convert.load_checkpoint(
+                                args.clip_checkpoint)
                     elif args.model_scale == "production":
                         cfg = dif.DIFFUSION_SVD
                     else:
                         cfg = dif.DIFFUSION_TINY
                     shared_engine = infill_diffusion.make_engine(
-                        preset, cfg=cfg, params=params)
+                        preset, cfg=cfg, params=params, **extra)
                 eng, drv = shared_engine
                 out = infill_diffusion.infill_sbs_video_diffusion(
                     v, mask, engine=eng, color_video=args.color_video,

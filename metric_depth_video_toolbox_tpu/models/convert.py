@@ -630,6 +630,44 @@ def convert_svd_vae(state_dict, cfg):
     return {"encoder": {"params": enc}, "decoder": {"params": dec}}
 
 
+def convert_clip_vision(state_dict, cfg):
+    """HF transformers CLIPVisionModelWithProjection state dict (the SVD
+    image-conditioning tower, e.g. laion CLIP-ViT-H-14) -> our
+    models.clip.CLIPVisionTower params. Forward equivalence proven
+    against the real transformers module in
+    tests/test_weight_exact_clip.py. Note HF's attribute is spelled
+    ``pre_layrnorm`` (typo preserved in their checkpoints)."""
+    sd = state_dict
+    vm = "vision_model."
+    pre_key = (vm + "pre_layrnorm" if vm + "pre_layrnorm.weight" in sd
+               else vm + "pre_layernorm")
+    p = {
+        "patch_embedding": {"kernel": _t(
+            sd[vm + "embeddings.patch_embedding.weight"]
+        ).transpose(2, 3, 1, 0)},
+        "class_embedding": _t(sd[vm + "embeddings.class_embedding"]),
+        "position_embedding": _t(
+            sd[vm + "embeddings.position_embedding.weight"]),
+        "pre_layernorm": layernorm(sd, pre_key),
+        "post_layernorm": layernorm(sd, vm + "post_layernorm"),
+        "visual_projection": {"kernel": _t(
+            sd["visual_projection.weight"]).T},
+    }
+    for i in range(cfg.num_layers):
+        b = f"{vm}encoder.layers.{i}"
+        p[f"layer{i}"] = {
+            "layer_norm1": layernorm(sd, f"{b}.layer_norm1"),
+            "q_proj": linear(sd, f"{b}.self_attn.q_proj"),
+            "k_proj": linear(sd, f"{b}.self_attn.k_proj"),
+            "v_proj": linear(sd, f"{b}.self_attn.v_proj"),
+            "out_proj": linear(sd, f"{b}.self_attn.out_proj"),
+            "layer_norm2": layernorm(sd, f"{b}.layer_norm2"),
+            "fc1": linear(sd, f"{b}.mlp.fc1"),
+            "fc2": linear(sd, f"{b}.mlp.fc2"),
+        }
+    return {"params": p}
+
+
 def convert_stereocrafter(unet_sd, vae_sd, cfg=None, vae_cfg=None):
     """StereoCrafter release = SVD UNet fine-tune + SVD VAE (reference
     stereo_crafter_infill.py:97-99). Combines convert_svd_unet +
@@ -670,6 +708,8 @@ def convert_torch_file(path, kind, cfg=None):
         return convert_svd_unet(sd, cfg)
     if kind == "svd_vae":
         return convert_svd_vae(sd, cfg)
+    if kind == "clip_vision":
+        return convert_clip_vision(sd, cfg)
     raise ValueError(f"unknown checkpoint kind: {kind}")
 
 

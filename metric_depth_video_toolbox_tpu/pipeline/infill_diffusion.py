@@ -32,8 +32,9 @@ class DiffusionInfillEngine:
     def __init__(self, cfg=None, params=None, work_hw=(256, 256),
                  chunk=25, overlap=6, rng_seed=0,
                  mono_conditioning=False, data_parallel=True,
-                 vae_cfg=None):
+                 vae_cfg=None, clip_params=None, clip_cfg=None):
         self.cfg = cfg or dif.DIFFUSION_TINY
+        self._clip = None
         if hasattr(self.cfg, "cross_attention_dim"):
             # SVDConfig -> the weight-exact StereoCrafter graph
             # (models.svd); converted SVD/StereoCrafter checkpoints
@@ -41,6 +42,15 @@ class DiffusionInfillEngine:
             from metric_depth_video_toolbox_tpu.models import svd as svdm
             self.model = svdm.SVDInpainter(
                 self.cfg, vae_cfg or svdm.SVDVAEConfig())
+            if clip_params is not None:
+                # CLIP image-embedding conditioning (the SVD pipeline's
+                # cross-attention context; models.clip)
+                from metric_depth_video_toolbox_tpu.models import clip \
+                    as clip_mod
+                tower = clip_mod.CLIPVisionTower(
+                    clip_cfg or clip_mod.CLIP_VIT_H)
+                self._clip = (tower, clip_params,
+                              clip_cfg or clip_mod.CLIP_VIT_H)
         else:
             self.model = dif.VideoInpainter(self.cfg)
         self.work_hw = work_hw
@@ -95,15 +105,18 @@ class DiffusionInfillEngine:
         if cache is None:
             cache = self._run_cache = {}
         key = (t, h, w, use_mono)
+        clip_p = self._clip[1] if self._clip is not None else None
         if key in cache:  # avoid per-chunk retrace of a fresh def
             self._rng, sub = jax.random.split(self._rng)
             return robust_call(
                 cache[key], self._params, sub, self._put(frames_u8),
                 self._put(hole_mask),
-                self._put(mono_u8) if use_mono else None)
+                self._put(mono_u8) if use_mono else None, clip_p)
+
+        clip_bundle = self._clip
 
         @jax.jit
-        def run(params, rng, f_u8, m, mono_in):
+        def run(params, rng, f_u8, m, mono_in, clip_p):
             f = f_u8.astype(jnp.float32) / 255.0
             fw = jax.image.resize(f, (t, wh, ww, 3), "bilinear")
             mw = jax.image.resize(m.astype(jnp.float32), (t, wh, ww),
@@ -121,10 +134,26 @@ class DiffusionInfillEngine:
                 parts.append(self.model.apply(params, mono_w,
                                               method=self.model.encode))
             cond = jnp.concatenate(parts, axis=-1)
-            z = dif.sample(
-                lambda p, zz, s, c: self.model.apply(
-                    p, zz, s, c, method=self.model.denoise),
-                params, rng, cond_lat.shape, self.cfg, cond)
+            ctx = None
+            if clip_p is not None:
+                from metric_depth_video_toolbox_tpu.models import clip \
+                    as clip_mod
+                tower, _, ccfg = clip_bundle
+                # SVD conditions cross-attention on the CLIP embedding
+                # of the conditioning frame (chunk frame 0)
+                emb = tower.apply(clip_p, clip_mod.preprocess(
+                    masked[:1], ccfg.image_size))
+                ctx = emb[:, None, :]  # (1, 1, proj_dim)
+            if ctx is not None:
+                def denoise_fn(p, zz, s, c):
+                    return self.model.apply(
+                        p, zz, s, c, ctx, method=self.model.denoise)
+            else:
+                def denoise_fn(p, zz, s, c):
+                    return self.model.apply(
+                        p, zz, s, c, method=self.model.denoise)
+            z = dif.sample(denoise_fn, params, rng, cond_lat.shape,
+                           self.cfg, cond)
             out = self.model.apply(params, z, method=self.model.decode)
             out = jax.image.resize(out, (t, h, w, 3), "bilinear")
             # composite back only inside the mask + LHM color match
@@ -141,7 +170,8 @@ class DiffusionInfillEngine:
         self._rng, sub = jax.random.split(self._rng)
         return robust_call(run, self._params, sub, self._put(frames_u8),
                            self._put(hole_mask),
-                           self._put(mono_u8) if use_mono else None)
+                           self._put(mono_u8) if use_mono else None,
+                           clip_p)
 
     def _put(self, arr):
         if self._mesh is None or arr is None:
@@ -267,7 +297,10 @@ def make_engine(preset="stereocrafter", cfg=None, params=None, **overrides):
     eng = DiffusionInfillEngine(
         cfg=cfg, params=params, work_hw=p.pop("work_hw"),
         chunk=p["chunk"], overlap=p["overlap"],
-        mono_conditioning=p.pop("mono_conditioning", False))
+        mono_conditioning=p.pop("mono_conditioning", False),
+        vae_cfg=p.pop("vae_cfg", None),
+        clip_params=p.pop("clip_params", None),
+        clip_cfg=p.pop("clip_cfg", None))
     return eng, p
 
 

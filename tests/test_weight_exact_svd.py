@@ -623,6 +623,43 @@ def test_stereocrafter_engine_end_to_end():
     np.testing.assert_array_equal(out[~hole], frames[~hole])
 
 
+def test_stereocrafter_engine_with_clip_context():
+    """SVD engine with a converted CLIP tower: the cross-attention
+    context becomes the real image embedding (projection_dim must match
+    cross_attention_dim, as in SVD ViT-H -> 1024)."""
+    transformers = pytest.importorskip("transformers")
+    from metric_depth_video_toolbox_tpu.models import clip as clip_mod
+    from metric_depth_video_toolbox_tpu.pipeline import infill_diffusion
+
+    ucfg = svd.SVD_TINY
+    vcfg = svd.SVD_VAE_TINY
+    torch.manual_seed(4)
+    params = convert.convert_stereocrafter(
+        _sd(TSVDUNet(ucfg).eval()), _sd(TVAE(vcfg).eval()), ucfg, vcfg)
+    hf_cfg = transformers.CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=32, patch_size=8,
+        projection_dim=ucfg.cross_attention_dim)
+    tower = transformers.CLIPVisionModelWithProjection(hf_cfg).eval()
+    ccfg = clip_mod.CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_layers=2, num_heads=2,
+        image_size=32, patch_size=8,
+        projection_dim=ucfg.cross_attention_dim)
+    clip_params = convert.convert_clip_vision(_sd(tower), ccfg)
+
+    eng = infill_diffusion.DiffusionInfillEngine(
+        cfg=ucfg, params=params, work_hw=(32, 32), chunk=3, overlap=0,
+        data_parallel=False, vae_cfg=vcfg, clip_params=clip_params,
+        clip_cfg=ccfg)
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 255, (3, 32, 32, 3), np.uint8)
+    hole = np.zeros((3, 32, 32), bool)
+    hole[:, 8:16, 8:24] = True
+    out = np.asarray(eng.infill_chunk(frames, hole))
+    assert out.shape == frames.shape
+    np.testing.assert_array_equal(out[~hole], frames[~hole])
+
+
 def test_svd_denoise_preconditioning():
     """svd_denoise implements the v-prediction EDM identities around the
     raw UNet: out = z/(s^2+1) - F * s/sqrt(s^2+1), input scaled by

@@ -668,6 +668,72 @@ def convert_clip_vision(state_dict, cfg):
     return {"params": p}
 
 
+def convert_depthpro_hf(state_dict, cfg):
+    """HF transformers DepthProForDepthEstimation state dict (e.g.
+    apple/DepthPro-hf) -> our models.depthpro.DepthProNet params.
+    Forward equivalence proven against the real transformers module in
+    tests/test_weight_exact_depthpro.py (reference depthpro_video.py
+    reads predicted_depth + focallength_px from this model)."""
+    sd = state_dict
+    p = {
+        "patch_encoder": convert_dinov2_hf(
+            sd, cfg.vit, prefix="depth_pro.encoder.patch_encoder.model."),
+        "image_encoder": convert_dinov2_hf(
+            sd, cfg.vit, prefix="depth_pro.encoder.image_encoder.model."),
+    }
+    up = "depth_pro.neck.feature_upsample."
+    p["upsample_image"] = conv_transpose(sd, up + "image_block.layers.0")
+    for i in range(len(cfg.scaled_images_ratios)):
+        b = f"{up}scaled_images.{i}.layers"
+        p[f"upsample_scaled{i}_proj"] = conv(sd, f"{b}.0")
+        p[f"upsample_scaled{i}_up0"] = conv_transpose(sd, f"{b}.1")
+    for i in range(len(cfg.intermediate_hook_ids)):
+        b = f"{up}intermediate.{i}.layers"
+        p[f"upsample_inter{i}_proj"] = conv(sd, f"{b}.0")
+        for j in range(2 + i):
+            p[f"upsample_inter{i}_up{j}"] = conv_transpose(
+                sd, f"{b}.{j + 1}")
+    p["fuse_low"] = conv(sd, "depth_pro.neck.fuse_image_with_low_res")
+    n_levels = (len(cfg.scaled_images_ratios)
+                + len(cfg.intermediate_hook_ids))
+    dims = (list(cfg.scaled_images_feature_dims)
+            + list(cfg.intermediate_feature_dims))
+    for i in range(n_levels):
+        if i == n_levels - 1 and dims[i] == cfg.fusion_hidden_size:
+            continue  # HF Identity projection
+        p[f"project{i}"] = conv(
+            sd, f"depth_pro.neck.feature_projection.projections.{i}")
+    for i in range(n_levels):
+        fl = (f"fusion_stage.intermediate.{i}" if i < n_levels - 1
+              else "fusion_stage.final")
+        if i > 0:  # layer 0's residual_layer1 exists in HF but is unused
+            p[f"fusion{i}_rcu1_conv1"] = conv(
+                sd, fl + ".residual_layer1.convolution1")
+            p[f"fusion{i}_rcu1_conv2"] = conv(
+                sd, fl + ".residual_layer1.convolution2")
+        p[f"fusion{i}_rcu2_conv1"] = conv(
+            sd, fl + ".residual_layer2.convolution1")
+        p[f"fusion{i}_rcu2_conv2"] = conv(
+            sd, fl + ".residual_layer2.convolution2")
+        if i < n_levels - 1:
+            p[f"fusion{i}_deconv"] = conv_transpose(sd, fl + ".deconv")
+        p[f"fusion{i}_project"] = conv(sd, fl + ".projection")
+    p["head_conv1"] = conv(sd, "head.layers.0")
+    p["head_deconv"] = conv_transpose(sd, "head.layers.1")
+    p["head_conv2"] = conv(sd, "head.layers.2")
+    p["head_conv3"] = conv(sd, "head.layers.4")
+    if cfg.use_fov and "fov_model.conv.weight" in sd:
+        p["fov_encoder"] = convert_dinov2_hf(
+            sd, cfg.vit, prefix="fov_model.fov_encoder.model.")
+        p["fov_neck"] = linear(sd, "fov_model.fov_encoder.neck")
+        p["fov_conv"] = conv(sd, "fov_model.conv")
+        for i in range(cfg.num_fov_head_layers):
+            p[f"fov_head{i}"] = conv(sd, f"fov_model.head.layers.{2 * i}")
+        p["fov_head_final"] = conv(
+            sd, f"fov_model.head.layers.{2 * cfg.num_fov_head_layers}")
+    return {"params": p}
+
+
 def convert_stereocrafter(unet_sd, vae_sd, cfg=None, vae_cfg=None):
     """StereoCrafter release = SVD UNet fine-tune + SVD VAE (reference
     stereo_crafter_infill.py:97-99). Combines convert_svd_unet +
@@ -710,6 +776,9 @@ def convert_torch_file(path, kind, cfg=None):
         return convert_svd_vae(sd, cfg)
     if kind == "clip_vision":
         return convert_clip_vision(sd, cfg)
+    if kind == "depthpro_hf":
+        from metric_depth_video_toolbox_tpu.models import depthpro
+        return convert_depthpro_hf(sd, cfg or depthpro.DEPTHPRO_L)
     raise ValueError(f"unknown checkpoint kind: {kind}")
 
 
@@ -723,6 +792,9 @@ WEIGHT_REGISTRY = {
     "raft": {"kind": "raft", "files": ["raft-large.pth"]},
     "stereocrafter": {"kind": "svd_unet", "files": ["stereocrafter"]},
     "u2net": {"kind": "u2net", "files": ["u2net.onnx"]},
+    "depthpro": {"kind": "depthpro_hf", "files": ["DepthPro-hf"]},
+    "clip_vith": {"kind": "clip_vision", "files": [
+        "CLIP-ViT-H-14-laion2B-s32B-b79K"]},
 }
 
 

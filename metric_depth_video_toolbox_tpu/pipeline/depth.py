@@ -185,20 +185,37 @@ class SingleFrameEngine:
 
     def __init__(self, size="vits", input_size=518, params=None,
                  max_depth=100.0, estimates_fov=False, rng_seed=0,
-                 data_parallel=True, variant="da", xfov=None, yfov=None):
+                 data_parallel=True, variant="da", xfov=None, yfov=None,
+                 depthpro_cfg=None):
         self.variant = variant
         self.xfov = xfov
         self.yfov = yfov
         if variant == "unidepth" and xfov is None:
             raise ValueError("unidepth engine requires --xfov (reference "
                              "unidepth_video.py makes FOV mandatory)")
-        self.cfg = da.preset(size, metric=True, max_depth=max_depth)
         import dataclasses as _dc
-        if variant == "unidepth" or (variant == "moge" and xfov):
-            self.cfg = _dc.replace(self.cfg, k_condition=True)
-        if variant in ("depthpro", "moge") and not xfov:
-            self.cfg = _dc.replace(self.cfg, fov_head=True)
-        self.model = da.DepthAnything(self.cfg)
+        # a converted apple/DepthPro-hf checkpoint switches the depthpro
+        # variant onto the real multi-scale DepthPro graph
+        # (models.depthpro, weight-exact); without one the DA-class
+        # stand-in with a focal head below keeps the contract
+        self._depthpro_cfg = None
+        if (variant == "depthpro" and params is not None
+                and "patch_encoder" in params.get("params", {})):
+            from metric_depth_video_toolbox_tpu.models import depthpro \
+                as dp_mod
+            self._depthpro_cfg = depthpro_cfg or (
+                dp_mod.DEPTHPRO_TINY if size in ("vitt", "tiny")
+                else dp_mod.DEPTHPRO_L)
+            self.cfg = da.preset(size, metric=True, max_depth=max_depth)
+            self.model = dp_mod.DepthProNet(self._depthpro_cfg)
+            estimates_fov = True
+        else:
+            self.cfg = da.preset(size, metric=True, max_depth=max_depth)
+            if variant == "unidepth" or (variant == "moge" and xfov):
+                self.cfg = _dc.replace(self.cfg, k_condition=True)
+            if variant in ("depthpro", "moge") and not xfov:
+                self.cfg = _dc.replace(self.cfg, fov_head=True)
+            self.model = da.DepthAnything(self.cfg)
         self.input_size = input_size
         self.max_depth = max_depth
         self.estimates_fov = estimates_fov or self.cfg.fov_head \
@@ -211,8 +228,37 @@ class SingleFrameEngine:
             from metric_depth_video_toolbox_tpu.parallel import mesh as mm
             self._mesh = mm.frame_mesh()
 
+    def _depthpro_step(self, h, w):
+        """Real DepthPro device step: square working size, HF-processor
+        normalization (mean=std=0.5), canonical inverse depth scaled by
+        2*tan(fov/2) then inverted (the HF post_process_depth_estimation
+        recipe the reference consumes via focallength_px,
+        depthpro_video.py:154-159)."""
+        from metric_depth_video_toolbox_tpu.models import depthpro as dp
+        cfg = self._depthpro_cfg
+        apply_fn = self._apply
+        max_depth = self.max_depth
+        s = dp.working_size(cfg)
+
+        @jax.jit
+        def step(params, imgs_u8):
+            x = imgs_u8.astype(jnp.float32) / 255.0
+            x = jax.image.resize(x, (x.shape[0], s, s, 3), "bilinear",
+                                 antialias=False)
+            x = (x - 0.5) / 0.5
+            inv, fov = apply_fn(params, x)
+            if fov is not None:
+                inv = inv * (2.0 * jnp.tan(
+                    jnp.radians(fov) * 0.5))[:, None, None]
+            d = jax.image.resize(inv, (inv.shape[0], h, w), "bilinear")
+            d = 1.0 / jnp.clip(d, 1e-4, 1e4)
+            return jnp.minimum(d, max_depth), fov
+        return step
+
     def _step_fn(self, h, w, work_hw):
         """Variant-specific fused device step (shape-keyed by caller)."""
+        if self._depthpro_cfg is not None:
+            return self._depthpro_step(h, w)
         from metric_depth_video_toolbox_tpu.ops import geometry as geo
         cfg = self.cfg
         apply_fn = self._apply

@@ -26,6 +26,16 @@ def build_parser(parser=None):
     p.add_argument("--track_visualization",
                    "--save_visulization_video",
                    dest="track_visualization", action="store_true")
+    p.add_argument("--engine", default="lk",
+                   choices=["lk", "cotracker3"],
+                   help="tracking core: jitted pyramidal-LK (default) "
+                        "or the CoTracker3-class learned tracker "
+                        "(reference track_points_in_video.py:266; needs "
+                        "--weights for non-random output)")
+    p.add_argument("--weights", default=None, type=str,
+                   help="converted cotracker3 checkpoint (.msgpack/.pkl "
+                        "from models.convert) or the torch "
+                        "scaled_offline.pth (converted on load)")
     return p
 
 
@@ -35,7 +45,8 @@ def run(args):
         args.color_video, clip_len=args.clip_len, grid=args.grid,
         max_frames=args.max_frames, save_viz=args.track_visualization,
         downscale=args.downscale, nr_iterations=args.nr_iterations,
-        steps_between_init=args.steps_between_init)
+        steps_between_init=args.steps_between_init,
+        engine=args.engine, weights=args.weights)
     print(f"tracking saved: {out}")
     return out
 

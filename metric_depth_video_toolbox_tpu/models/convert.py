@@ -630,6 +630,124 @@ def convert_svd_vae(state_dict, cfg):
     return {"encoder": {"params": enc}, "decoder": {"params": dec}}
 
 
+def convert_cotracker3(state_dict, cfg=None):
+    """facebookresearch/co-tracker ``cotracker3_offline`` state dict ->
+    our models.cotracker.CoTracker3 params (forward equivalence proven
+    in tests/test_weight_exact_cotracker.py against a torch graph with
+    the upstream module layout; reference track_points_in_video.py:266).
+
+    All dimensions are inferred from tensor shapes, so any width/depth
+    variant of the layout converts. Upstream keys consumed:
+    fnet.{conv1,conv2,conv3}, fnet.layer{1..4}.{0,1}.{conv1,conv2,
+    downsample.0} (InstanceNorms are affine=False: no params),
+    corr_mlp.{fc1,fc2}, updateformer.{input_transform, virual_tracks
+    [upstream's spelling; 'virtual_tracks' also accepted],
+    time_blocks.N.*, space_virtual_blocks.N.*,
+    space_point2virtual_blocks.N.*, space_virtual2point_blocks.N.*,
+    flow_head, vis_conf_head} with cotracker blocks.py attention
+    naming (attn/cross_attn.{to_q,to_kv,to_out}, norm1/norm2/
+    norm_context, mlp.{fc1,fc2})."""
+    sd = state_dict
+
+    fnet = {"conv1": conv(sd, "fnet.conv1"),
+            "conv2": conv(sd, "fnet.conv2"),
+            "conv3": conv(sd, "fnet.conv3")}
+    for li in (1, 2, 3, 4):
+        for bi in (0, 1):
+            b = f"fnet.layer{li}.{bi}"
+            blk = {"conv1": conv(sd, b + ".conv1"),
+                   "conv2": conv(sd, b + ".conv2")}
+            if b + ".downsample.0.weight" in sd:
+                blk["down_conv"] = conv(sd, b + ".downsample.0")
+            fnet[f"layer{li}_{bi}"] = blk
+
+    def attention(p):
+        return {"to_q": linear(sd, p + ".to_q"),
+                "to_kv": linear(sd, p + ".to_kv"),
+                "to_out": linear(sd, p + ".to_out")}
+
+    def attn_block(p):
+        return {"norm1": layernorm(sd, p + ".norm1"),
+                "attn": attention(p + ".attn"),
+                "norm2": layernorm(sd, p + ".norm2"),
+                "mlp": {"fc1": linear(sd, p + ".mlp.fc1"),
+                        "fc2": linear(sd, p + ".mlp.fc2")}}
+
+    def cross_block(p):
+        return {"norm1": layernorm(sd, p + ".norm1"),
+                "norm_context": layernorm(sd, p + ".norm_context"),
+                "cross_attn": attention(p + ".cross_attn"),
+                "norm2": layernorm(sd, p + ".norm2"),
+                "mlp": {"fc1": linear(sd, p + ".mlp.fc1"),
+                        "fc2": linear(sd, p + ".mlp.fc2")}}
+
+    uf = {"input_transform": linear(sd, "updateformer.input_transform"),
+          "flow_head": linear(sd, "updateformer.flow_head"),
+          "vis_conf_head": linear(sd, "updateformer.vis_conf_head")}
+    virt_key = ("updateformer.virual_tracks"
+                if "updateformer.virual_tracks" in sd
+                else "updateformer.virtual_tracks")
+    virt = _t(sd[virt_key])  # (1, V, 1, C) -> (V, 1, C)
+    uf["virtual_tracks"] = virt.reshape(virt.shape[-3], 1, virt.shape[-1])
+
+    def _depth(stack):
+        i = 0
+        while f"updateformer.{stack}.{i}.norm1.weight" in sd:
+            i += 1
+        return i
+
+    for i in range(_depth("time_blocks")):
+        uf[f"time_blocks_{i}"] = attn_block(f"updateformer.time_blocks.{i}")
+    for j in range(_depth("space_virtual_blocks")):
+        uf[f"space_virtual_blocks_{j}"] = attn_block(
+            f"updateformer.space_virtual_blocks.{j}")
+        uf[f"space_point2virtual_blocks_{j}"] = cross_block(
+            f"updateformer.space_point2virtual_blocks.{j}")
+        uf[f"space_virtual2point_blocks_{j}"] = cross_block(
+            f"updateformer.space_virtual2point_blocks.{j}")
+
+    return {"params": {
+        "fnet": fnet,
+        "corr_mlp_fc1": linear(sd, "corr_mlp.fc1"),
+        "corr_mlp_fc2": linear(sd, "corr_mlp.fc2"),
+        "updateformer": uf}}
+
+
+def cotracker3_config_from_state_dict(state_dict, **overrides):
+    """Infer a CoTracker3Config from checkpoint shapes (latent/hidden
+    dims, corr window -> radius, depths, virtual-track count, corr
+    levels from the input_transform width)."""
+    from metric_depth_video_toolbox_tpu.models import cotracker as ct
+    sd = state_dict
+    latent = sd["fnet.conv3.weight"].shape[0]
+    win4 = sd["corr_mlp.fc1.weight"].shape[1]
+    win = round(win4 ** 0.25)
+    hidden = sd["updateformer.input_transform.weight"].shape[0]
+    input_dim = sd["updateformer.input_transform.weight"].shape[1]
+    emb = sd["corr_mlp.fc2.weight"].shape[0]
+    hid_mlp = sd["corr_mlp.fc1.weight"].shape[0]
+    virt_key = ("updateformer.virual_tracks"
+                if "updateformer.virual_tracks" in sd
+                else "updateformer.virtual_tracks")
+    nv = _t(sd[virt_key]).reshape(-1, hidden).shape[0]
+    time_depth = 0
+    while f"updateformer.time_blocks.{time_depth}.norm1.weight" in sd:
+        time_depth += 1
+    space_depth = 0
+    while (f"updateformer.space_virtual_blocks.{space_depth}"
+           ".norm1.weight") in sd:
+        space_depth += 1
+    flow_c = overrides.pop("flow_embed_dim", 64)
+    levels = (input_dim - 2 - (2 * flow_c + 2)) // emb
+    kw = dict(latent_dim=latent, corr_radius=(win - 1) // 2,
+              corr_levels=levels, corr_mlp_hidden=hid_mlp,
+              corr_emb_dim=emb, hidden_size=hidden,
+              time_depth=time_depth, space_depth=space_depth,
+              num_virtual_tracks=nv, flow_embed_dim=flow_c)
+    kw.update(overrides)
+    return ct.CoTracker3Config(**kw)
+
+
 def convert_clip_vision(state_dict, cfg):
     """HF transformers CLIPVisionModelWithProjection state dict (the SVD
     image-conditioning tower, e.g. laion CLIP-ViT-H-14) -> our
@@ -776,6 +894,8 @@ def convert_torch_file(path, kind, cfg=None):
         return convert_svd_vae(sd, cfg)
     if kind == "clip_vision":
         return convert_clip_vision(sd, cfg)
+    if kind == "cotracker3":
+        return convert_cotracker3(sd, cfg)
     if kind == "depthpro_hf":
         from metric_depth_video_toolbox_tpu.models import depthpro
         return convert_depthpro_hf(sd, cfg or depthpro.DEPTHPRO_L)
@@ -792,6 +912,7 @@ WEIGHT_REGISTRY = {
     "raft": {"kind": "raft", "files": ["raft-large.pth"]},
     "stereocrafter": {"kind": "svd_unet", "files": ["stereocrafter"]},
     "u2net": {"kind": "u2net", "files": ["u2net.onnx"]},
+    "cotracker3": {"kind": "cotracker3", "files": ["scaled_offline.pth"]},
     "depthpro": {"kind": "depthpro_hf", "files": ["DepthPro-hf"]},
     "clip_vith": {"kind": "clip_vision", "files": [
         "CLIP-ViT-H-14-laion2B-s32B-b79K"]},

@@ -19,10 +19,37 @@ from metric_depth_video_toolbox_tpu.models import tracker as trk
 from metric_depth_video_toolbox_tpu.utils.host import to_host
 
 
+def _make_clip_tracker(engine, weights):
+    """Returns clip_track(frames_u8, pts, valid) -> (traj, vis) for the
+    chosen core: the jitted pyramidal-LK scan (default) or the
+    CoTracker3-class learned tracker (reference
+    track_points_in_video.py:264-271 loads cotracker3_offline)."""
+    if engine != "cotracker3":
+        return lambda clip, pts, ok: tuple(map(to_host, trk.lk_track_clip(
+            jnp.asarray(clip), jnp.asarray(pts), jnp.asarray(ok))))
+    from metric_depth_video_toolbox_tpu.models import cotracker as ct
+    params, cfg = None, None
+    if weights:
+        from metric_depth_video_toolbox_tpu.models import convert
+        if weights.endswith((".pth", ".pt", ".bin")):
+            import torch
+            sd = torch.load(weights, map_location="cpu",
+                            weights_only=True)
+            if isinstance(sd, dict) and "state_dict" in sd:
+                sd = sd["state_dict"]
+            sd = {k: v.numpy() for k, v in sd.items()}
+            params = convert.convert_cotracker3(sd)
+            cfg = convert.cotracker3_config_from_state_dict(sd)
+        else:
+            params = convert.load_checkpoint(weights)
+    eng = ct.CoTracker3Engine(cfg, params=params)
+    return eng.track_clip
+
+
 def track_video(color_video, output=None, clip_len=120, grid=36,
                 max_frames=-1, engine="lk", reseed_radius=12.0,
                 save_viz=False, rng_seed=0, downscale=1,
-                nr_iterations=1, steps_between_init=None):
+                nr_iterations=1, steps_between_init=None, weights=None):
     """Track grid points through the whole video in overlapping clips.
 
     Returns the tracking-json path. Track rows are [global_id, x, y] per
@@ -37,6 +64,7 @@ def track_video(color_video, output=None, clip_len=120, grid=36,
     frames, fps = vio.read_video_frames(color_video, max_frames=max_frames)
     t_total, h, w = frames.shape[:3]
     rng = np.random.default_rng(rng_seed)
+    clip_track = _make_clip_tracker(engine, weights)
 
     track_frames = frames
     if downscale > 1:
@@ -91,11 +119,9 @@ def track_video(color_video, output=None, clip_len=120, grid=36,
             gids[fresh] = np.arange(next_gid, next_gid + fresh.sum())
             next_gid += int(fresh.sum())
 
-            traj, vis = trk.lk_track_clip(jnp.asarray(clip),
-                                          jnp.asarray(pts),
-                                          jnp.asarray(ok))
-            traj = to_host(traj)
-            vis = to_host(vis)
+            traj, vis = clip_track(clip, pts, ok)
+            traj = np.asarray(traj)
+            vis = np.asarray(vis)
 
             for fi in range(end - start):
                 if start + fi < written_until:

@@ -188,3 +188,28 @@ def test_triangulation_diagnostics_consistent_geometry(rng):
     assert st["median_residual_m"] < 0.02
     assert abs(st["median_triangulated_range_m"]
                - st["median_measured_range_m"]) < 0.05
+
+
+def test_track_video_cotracker3_engine(tmp_path, rng, monkeypatch):
+    """The learned-tracker dispatch (reference
+    track_points_in_video.py:264-271): track_video(engine='cotracker3')
+    runs the CoTracker3-class engine end to end and emits the same
+    tracking-json contract as the LK core. Random weights (tiny config)
+    — this asserts plumbing and output shape, not tracking quality."""
+    from metric_depth_video_toolbox_tpu.models import cotracker as ct
+    monkeypatch.setattr(ct, "COTRACKER3", ct.COTRACKER3_TINY)
+    h, w = 64, 96
+    tex = _textured_frame(rng, h, w + 24)
+    frames = np.stack([tex[:, i * 2:i * 2 + w] for i in range(6)])
+    path = str(tmp_path / "clip_ct3.mkv")
+    vio.save_rgb_video(frames, path, 24)
+
+    out = track_mod.track_video(path, grid=6, clip_len=6,
+                                engine="cotracker3")
+    tracks = sidecar.load_tracking(out)
+    assert len(tracks) == 6
+    for rows in tracks:
+        rows = np.asarray(rows).reshape(-1, 3)
+        if rows.size:
+            assert np.isfinite(rows).all()
+            assert (rows[:, 1] >= -w) .all() and (rows[:, 1] <= 2 * w).all()

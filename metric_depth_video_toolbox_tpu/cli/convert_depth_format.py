@@ -56,6 +56,10 @@ def build_parser(parser=None):
                         "frames where they are not")
     p.add_argument("--merge_close_points", action="store_true",
                    help="merge triangulated points that are very close")
+    p.add_argument("--save_normals", action="store_true",
+                   help="estimate per-point normals for the exported "
+                        "clouds (KNN covariance on device, ops/knn.py) "
+                        "and write them into the PLYs")
     p.add_argument("--show_scene_point_clouds", action="store_true",
                    help="headless build: renders the resulting clouds "
                         "to an offline turntable video instead of a "
@@ -102,7 +106,8 @@ def run(args):
         remove_edges=args.remove_edges,
         lock_frame=args.transformation_lock_frame,
         mask_video=args.mask_video, strict_mask=args.strict_mask,
-        merge_close_points=args.merge_close_points)
+        merge_close_points=args.merge_close_points,
+        save_normals=args.save_normals)
     if args.show_scene_point_clouds:
         from metric_depth_video_toolbox_tpu.io import pointcloud as pcio
         sets = []

@@ -69,8 +69,9 @@ def write_ply(path, points, colors=None, normals=None, binary=True):
     return path
 
 
-def read_ply(path):
-    """Minimal PLY reader for our own files -> (points, colors|None)."""
+def read_ply(path, return_normals=False):
+    """Minimal PLY reader for our own files -> (points, colors|None)
+    or, with ``return_normals``, (points, colors|None, normals|None)."""
     with open(path, "rb") as f:
         data = f.read()
     head_end = data.index(b"end_header\n") + len(b"end_header\n")
@@ -101,6 +102,12 @@ def read_ply(path):
     cols = None
     if "red" in dt.names:
         cols = np.stack([rec["red"], rec["green"], rec["blue"]], axis=-1)
+    if return_normals:
+        normals = None
+        if "nx" in dt.names:
+            normals = np.stack([rec["nx"], rec["ny"], rec["nz"]],
+                               axis=-1).astype(np.float32)
+        return pts, cols, normals
     return pts, cols
 
 

@@ -64,7 +64,7 @@ def export_video(depth_video, tracking_file=None, transformation_file=None,
                  remove_edges=True, output_prefix=None, max_tracks=8192,
                  min_frames=-1, lock_frame=0, mask_video=None,
                  strict_mask=False, merge_close_points=False,
-                 ply_dir=None, obj_dir=None):
+                 ply_dir=None, obj_dir=None, save_normals=False):
     """Multi-purpose exporter. Returns a dict of produced paths."""
     out = {}
     prefix = output_prefix or depth_video
@@ -223,8 +223,29 @@ def export_video(depth_video, tracking_file=None, transformation_file=None,
         if merge_close_points:
             tri_points, _ = merge_near_points(tri_points)
             avg_out, _ = merge_near_points(avg_out)
-        pcio.write_ply(tri_path, tri_points)
-        pcio.write_ply(avg_path, avg_out)
+
+        def _cloud_normals(pts):
+            # unstructured-cloud normals (KNN covariance, ops/knn.py);
+            # the grid normals of ops/geometry only apply to depth maps.
+            # Flip toward the first camera center so meshing tools get a
+            # consistent orientation.
+            if not save_normals or pts.shape[0] < 8:
+                return None
+            from metric_depth_video_toolbox_tpu.ops import knn
+            c0 = (np.asarray(transforms[0])[:3, 3]
+                  if transforms is not None else np.zeros(3, np.float32))
+            vd = pts - c0[None]
+            vd = vd / np.maximum(
+                np.linalg.norm(vd, axis=1, keepdims=True), 1e-9)
+            return to_host(knn.knn_normals(
+                jnp.asarray(pts, jnp.float32),
+                k=min(16, pts.shape[0] - 1),
+                view_dirs=jnp.asarray(vd, jnp.float32)))
+
+        pcio.write_ply(tri_path, tri_points,
+                       normals=_cloud_normals(tri_points))
+        pcio.write_ply(avg_path, avg_out,
+                       normals=_cloud_normals(avg_out))
         out["triangulated"] = tri_path
         out["avgmonodepth"] = avg_path
 

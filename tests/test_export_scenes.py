@@ -177,3 +177,49 @@ def test_render_point_cloud_video(tmp_path, rng):
                                         out_hw=(32, 48))
     n, w, h, _ = vio.video_info(path)
     assert n == 4 and (w, h) == (48, 32)
+
+
+def test_export_save_normals_writes_unit_normals(tmp_path, rng):
+    """--save_normals: exported clouds carry KNN-covariance normals
+    (ops/knn.py, the UniDepth KNN-op role). A planar synthetic cloud
+    must get near-axis normals."""
+    h, w = 32, 48
+    t = 6
+    k = np.asarray(geo.camera_matrix_from_fov(w, h, xfov_deg=60.0),
+                   np.float32)
+    # points on the z=8 plane
+    world = np.stack([rng.uniform(-2, 2, 30), rng.uniform(-1.5, 1.5, 30),
+                      np.full(30, 8.0)], -1).astype(np.float32)
+    transforms, tracks = [], []
+    depth_frames = np.full((t, h, w), 30.0, np.float32)
+    for fi in range(t):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[0, 3] = fi * 0.1
+        transforms.append(c2w)
+        w2c = np.linalg.inv(c2w)
+        pc = world @ w2c[:3, :3].T + w2c[:3, 3]
+        uv = pc[:, :2] / pc[:, 2:3] * [k[0, 0], k[1, 1]] + [k[0, 2], k[1, 2]]
+        rows = [[gid, q[0], q[1]] for gid, (p, q) in enumerate(zip(pc, uv))
+                if 0 <= int(round(q[0])) < w and 0 <= int(round(q[1])) < h]
+        tracks.append(np.asarray(rows, np.float32))
+
+    dpath = str(tmp_path / "pl_depth.mkv")
+    vio.save_depth_video(depth_frames, dpath, 24, 100.0)
+    tpath = str(tmp_path / "pl_tracking.json")
+    sidecar.save_tracking(tpath, tracks)
+    trpath = str(tmp_path / "pl_transformations.json")
+    sidecar.save_transformations(trpath, np.stack(transforms))
+
+    out = export_mod.export_video(
+        dpath, tracking_file=tpath, transformation_file=trpath,
+        xfov=60.0, triangulate=True, min_observations=3,
+        save_normals=True)
+    head = open(out["triangulated"], "rb").read(500)
+    assert b"nx" in head and b"ny" in head and b"nz" in head
+    pts, _, normals = pcio.read_ply(out["triangulated"],
+                                    return_normals=True)
+    assert normals is not None and normals.shape == pts.shape
+    lens = np.linalg.norm(normals, axis=1)
+    assert np.allclose(lens, 1.0, atol=1e-3)
+    # plane at z=8 viewed from -z side: normals ~ (0, 0, -1)
+    assert np.median(np.abs(normals[:, 2])) > 0.9

@@ -103,6 +103,10 @@ def da3_main(argv=None):
     p.add_argument("--batch_overlap", default=6, type=int)
     p.add_argument("--nr_of_ref_frames", default=6, type=int)
     p.add_argument("--da3_resolution", default=504, type=int)
+    p.add_argument("--backbone_checkpoint", type=str,
+                   help="converted DINOv2 ViT checkpoint to graft into "
+                        "the DA3 backbone (the dominant parameter mass; "
+                        "DA3 is DINOv2-based, reference video_da3.py:274)")
     args = p.parse_args(argv)
     from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
     outs = dstage.run_batch(
@@ -110,7 +114,8 @@ def da3_main(argv=None):
         max_frames=args.max_frames, size=args.model_size,
         images_per_batch=args.images_per_batch,
         overlap=args.batch_overlap, num_ref_frames=args.nr_of_ref_frames,
-        resolution=args.da3_resolution)
+        resolution=args.da3_resolution,
+        backbone=args.backbone_checkpoint)
     for o in outs:
         print(f"depth video saved: {o}")
     return outs

@@ -240,7 +240,7 @@ class DA3Engine:
 
     def __init__(self, cfg=None, params=None, images_per_batch=40,
                  overlap=6, num_ref_frames=6, resolution=504,
-                 rng_seed=0):
+                 rng_seed=0, backbone=None):
         self.cfg = cfg or DA3_L
         self.model = DA3(self.cfg)
         self.images_per_batch = images_per_batch
@@ -248,8 +248,58 @@ class DA3Engine:
         self.num_ref_frames = num_ref_frames
         self.resolution = resolution
         self._params = params
+        self._pending_backbone = None
         self._rng = jax.random.PRNGKey(rng_seed)
         self._apply = self.model.apply
+        if backbone is not None:
+            self.load_backbone(backbone)
+
+    def load_backbone(self, source):
+        """Graft converted DINOv2 ViT weights into the DA3 backbone —
+        the dominant parameter mass of a DA3-class checkpoint (the
+        reference model is DINOv2-based, video_da3.py:274). ``source``
+        is a converted checkpoint path (models.convert) or a param tree
+        (either the ViT subtree or a full tree holding 'backbone').
+        Position embeddings are resampled to this engine's grid."""
+        from metric_depth_video_toolbox_tpu.models import convert
+
+        bb = (convert.load_checkpoint(source) if isinstance(source, str)
+              else source)
+        if "params" in bb:
+            bb = bb["params"]
+        if "backbone" in bb:
+            bb = bb["backbone"]
+        if self._params is None:
+            self._pending_backbone = bb
+            return
+        self._graft_backbone(bb)
+
+    def _graft_backbone(self, bb):
+        import flax
+
+        params = flax.core.unfreeze(self._params)
+        tgt = params["params"]["backbone"]
+        pe_t = np.asarray(tgt["pos_embed"])
+        pe_s = np.asarray(bb["pos_embed"])
+        if pe_s.shape != pe_t.shape:
+            from metric_depth_video_toolbox_tpu.models import convert
+            ns = pe_s.shape[1] - 1
+            nt = pe_t.shape[1] - 1
+            gs = int(round(ns ** 0.5))
+            gt = int(round(nt ** 0.5))
+            bb = dict(bb)
+            bb["pos_embed"] = convert.interpolate_pos_embed(
+                pe_s, (gs, ns // gs), (gt, nt // gt))
+        mism = [k for k in tgt
+                if np.asarray(jax.tree.leaves(tgt[k])[0]).shape
+                != np.asarray(jax.tree.leaves(bb[k])[0]).shape]
+        if mism:
+            raise ValueError(
+                f"backbone shape mismatch at {mism}: checkpoint was "
+                f"converted for a different ViT config than "
+                f"{self.cfg.vit}")
+        params["params"]["backbone"] = jax.tree.map(jnp.asarray, bb)
+        self._params = params
 
     def _work_hw(self, h, w):
         from metric_depth_video_toolbox_tpu.models import depth_anything
@@ -267,6 +317,9 @@ class DA3Engine:
         if self._params is None:
             x = jnp.zeros((v_total, wh, ww, 3))
             self._params = jax.jit(self.model.init)(self._rng, x)
+            if self._pending_backbone is not None:
+                self._graft_backbone(self._pending_backbone)
+                self._pending_backbone = None
 
         @jax.jit
         def run(params, batch_u8):

@@ -121,19 +121,41 @@ def da3_main(argv=None):
     return outs
 
 
+def _diffusion_extra(args):
+    """cfg/params for the diffusion engines: --model svd (or any
+    --checkpoint — DepthCrafter/GeometryCrafter are SVD fine-tunes)
+    selects the production weight-exact SVD graph (models.svd)."""
+    extra = {}
+    if getattr(args, "model", "tiny") == "svd" or args.checkpoint:
+        from metric_depth_video_toolbox_tpu.models import svd as svdm
+        extra["cfg"] = svdm.SVDConfig()
+    if args.checkpoint:
+        from metric_depth_video_toolbox_tpu.models import convert
+        extra["params"] = convert.load_checkpoint(args.checkpoint)
+    return extra
+
+
+def _add_diffusion_model_flag(p):
+    p.add_argument("--model", choices=("tiny", "svd"), default="tiny",
+                   help="'svd' = production SVD-class graph (implied by "
+                        "--checkpoint); 'tiny' = fast random-weight "
+                        "stand-in for smoke runs")
+
+
 def depthcrafter_main(argv=None):
     p = _base_parser("DepthCrafter-class diffusion video depth "
                      "(requires --depth_video reference).")
     p.add_argument("--depth_video", type=str, required=True)
     p.add_argument("--window", default=110, type=int)
     p.add_argument("--overlap", default=25, type=int)
+    _add_diffusion_model_flag(p)
     args = p.parse_args(argv)
     from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
     outs = dstage.run_batch(
         "depthcrafter", args.color_video, max_depth=args.max_depth,
         max_frames=args.max_frames,
         reference_depth_video=args.depth_video, window=args.window,
-        overlap=args.overlap)
+        overlap=args.overlap, **_diffusion_extra(args))
     for o in outs:
         print(f"depth video saved: {o}")
     return outs
@@ -151,13 +173,15 @@ def geometrycrafter_main(argv=None):
                    help="prior depth video to stabilize")
     p.add_argument("--window", default=110, type=int)
     p.add_argument("--overlap", default=5, type=int)
+    _add_diffusion_model_flag(p)
     args = p.parse_args(argv)
     from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
     outs = dstage.run_batch(
         "geometrycrafter", args.color_video, max_depth=args.max_depth,
         max_frames=args.max_frames, xfov=args.xfov,
         reference_depth_video=args.depth_video,
-        window=args.window, overlap=args.overlap, size=args.model_size)
+        window=args.window, overlap=args.overlap, size=args.model_size,
+        **_diffusion_extra(args))
     for o in outs:
         print(f"depth video saved: {o}")
     return outs

@@ -911,6 +911,11 @@ WEIGHT_REGISTRY = {
         "depth_anything_v2_metric_hypersim_vitl.pth"]},
     "raft": {"kind": "raft", "files": ["raft-large.pth"]},
     "stereocrafter": {"kind": "svd_unet", "files": ["stereocrafter"]},
+    # DepthCrafter / GeometryCrafter are SVD fine-tunes: same UNet+VAE
+    # layout, converted by the stereocrafter converters and loaded into
+    # pipeline.depth.{DepthCrafter,GeometryCrafter}Engine(cfg=SVDConfig())
+    "depthcrafter": {"kind": "svd_unet", "files": ["DepthCrafter"]},
+    "geometrycrafter": {"kind": "svd_unet", "files": ["GeometryCrafter"]},
     "u2net": {"kind": "u2net", "files": ["u2net.onnx"]},
     "cotracker3": {"kind": "cotracker3", "files": ["scaled_offline.pth"]},
     "depthpro": {"kind": "depthpro_hf", "files": ["DepthPro-hf"]},

@@ -440,19 +440,37 @@ def run_da3(color_video, max_depth=100.0, max_frames=-1, engine=None, **kw):
     return out
 
 
+def _build_denoiser(cfg, vae_cfg=None):
+    """Denoiser dispatch shared by the diffusion depth engines: an
+    ``SVDConfig`` (has cross_attention_dim) selects the weight-exact
+    SVD graph (``models.svd.SVDInpainter``) — DepthCrafter and
+    GeometryCrafter are SVD fine-tunes, so converted checkpoints load
+    straight into it — anything else the generic ``VideoInpainter``."""
+    from metric_depth_video_toolbox_tpu.models import diffusion as dif
+    cfg = cfg or dif.DIFFUSION_TINY
+    if hasattr(cfg, "cross_attention_dim"):
+        from metric_depth_video_toolbox_tpu.models import svd as svdm
+        return cfg, svdm.SVDInpainter(cfg, vae_cfg or svdm.SVDVAEConfig())
+    return cfg, dif.VideoInpainter(cfg)
+
+
 class DepthCrafterEngine:
     """DepthCrafter-class engine: video->relative-depth diffusion in
     windows (110/25, 5 steps, reference depthcrafter_video.py:183-194),
-    re-metricized against a required reference depth video (:200-227)."""
+    re-metricized against a required reference depth video (:200-227).
+
+    ``cfg=models.svd.SVDConfig()`` selects the production SVD-class
+    graph (DepthCrafter is an SVD fine-tune); converted checkpoints
+    load via ``models.convert``."""
 
     def __init__(self, cfg=None, params=None, window=110, overlap=25,
-                 work_hw=(256, 256), rng_seed=0, max_depth=100.0, **_):
+                 work_hw=(256, 256), rng_seed=0, max_depth=100.0,
+                 vae_cfg=None, **_):
         # **_ tolerates the generic engine kwargs the movie orchestrator
         # passes to every engine type (size/input_size)
         from metric_depth_video_toolbox_tpu.models import diffusion as dif
         self.dif = dif
-        self.cfg = cfg or dif.DIFFUSION_TINY
-        self.model = dif.VideoInpainter(self.cfg)
+        self.cfg, self.model = _build_denoiser(cfg, vae_cfg)
         self.window = window
         self.overlap = overlap
         self.work_hw = work_hw
@@ -546,11 +564,10 @@ class GeometryCrafterEngine:
 
     def __init__(self, cfg=None, params=None, window=110, overlap=5,
                  work_hw=(384, 640), rng_seed=0, max_depth=100.0,
-                 xfov=60.0, **_):
+                 xfov=60.0, vae_cfg=None, **_):
         from metric_depth_video_toolbox_tpu.models import diffusion as dif
         self.dif = dif
-        self.cfg = cfg or dif.DIFFUSION_TINY
-        self.model = dif.VideoInpainter(self.cfg)
+        self.cfg, self.model = _build_denoiser(cfg, vae_cfg)
         self.window = window
         self.overlap = overlap
         self.work_hw = work_hw

@@ -501,9 +501,16 @@ def stereo_sweep_warp(depth, color, k, transform, num_planes=128,
     color_pad = jnp.pad(color_rot.transpose(2, 0, 1),
                         ((0, 0), (0, 0), (pad_left, pad_right)))
 
+    # per-(row-tile, plane) histogram lets the kernel skip planes with
+    # no source depth in the tile — on piecewise-smooth scenes most of
+    # the sweep vanishes (and the sparse edge-anchor pass almost all)
+    active = warp_pallas.plane_activity(depth_rot, inv_near, d_inv,
+                                        num_planes)
+
     best_z, out_color, found = warp_pallas.disparity_sweep(
         depth_pad, color_pad, disp_int, disp_frac, plane_z, plane_tol,
-        num_planes=num_planes, pad_left=pad_left, interpret=interpret)
+        num_planes=num_planes, pad_left=pad_left, interpret=interpret,
+        active=active)
 
     return WarpResult(color=out_color,
                       depth=jnp.where(found, best_z, INF_DEPTH),

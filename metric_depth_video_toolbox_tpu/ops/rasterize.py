@@ -517,6 +517,116 @@ def stereo_sweep_warp(depth, color, k, transform, num_planes=128,
                       mask=found, edge_mask=edge & valid_src)
 
 
+def stereo_sweep_warp_dual(depth, color, extra, k, transform,
+                           num_planes=128, edge_angle_deg=89.0,
+                           max_disparity=256, neutralize_rotation=True,
+                           conv_inv_z=0.0, min_depth=1e-2, tol_scale=1.6,
+                           interpret=None, edge=None):
+    """Fused stereo sweep + edge-anchor sweep in ONE kernel pass.
+
+    The movie-config stereo path renders two surfaces per eye: the main
+    (edge-culled) surface and an anchor layer of the culled silhouette
+    pixels carrying color+normal seeds for the infill
+    (reference stereo_rerender.py:589-607, 745-814). Both share the
+    projection, so this runs them in one plane loop: the edge-only depth
+    rides as a second z-stream, ``color`` is written to whichever
+    surface hit, and ``extra`` (H, W, E payload, e.g. encoded normals)
+    only to the anchor surface. Versus two stereo_sweep_warp calls this
+    saves a full second kernel launch + duplicate color shifts
+    (measured: the separate anchor sweep cost 9.3 ms/frame both eyes at
+    1080p; see scripts/profile_stereo.py).
+
+    The anchor surface is also swept over the FULL plane set (the
+    two-call path used num_planes//4 for anchors), so anchor placement
+    is strictly more accurate.
+
+    Returns (WarpResult main, anchor_color (H,W,3), anchor_extra
+    (H,W,E), anchor_mask (H,W) bool).
+    """
+    from metric_depth_video_toolbox_tpu.ops import warp_pallas
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    h, w = depth.shape
+    depth = depth.astype(jnp.float32)
+    r = transform[:3, :3]
+    t = transform[:3, 3]
+
+    if edge is None:
+        pts_cam = geo.unproject_depth(depth, k, of_by_one=False)
+        edge = cell_edge_mask(pts_cam, edge_angle_deg)
+    valid_src = depth > min_depth
+
+    fx, fy = k[0, 0], k[1, 1]
+    cx, cy = k[0, 2], k[1, 2]
+
+    main_depth = jnp.where(edge | ~valid_src, 0.0, depth)
+    edge_depth = jnp.where(edge & valid_src, depth, 0.0)
+    color_f = color.astype(jnp.float32)
+    extra_f = extra.astype(jnp.float32)
+
+    if neutralize_rotation:
+        xs = (jnp.arange(w, dtype=jnp.float32) - cx) / fx
+        ys = (jnp.arange(h, dtype=jnp.float32) - cy) / fy
+        dx, dy = jnp.meshgrid(xs, ys)
+        sx_d = r[0, 0] * dx + r[1, 0] * dy + r[2, 0]
+        sy_d = r[0, 1] * dx + r[1, 1] * dy + r[2, 1]
+        sz_d = r[0, 2] * dx + r[1, 2] * dy + r[2, 2]
+        u_s = sx_d / sz_d * fx + cx
+        v_s = sy_d / sz_d * fy + cy
+        main_depth = _bilinear_gather(main_depth, u_s, v_s,
+                                      fill=0.0) / sz_d
+        edge_depth = _bilinear_gather(edge_depth, u_s, v_s,
+                                      fill=0.0) / sz_d
+        color_f = _bilinear_gather(color_f, u_s, v_s, fill=0.0)
+        extra_f = _bilinear_gather(extra_f, u_s, v_s, fill=0.0)
+
+    # plane set spans ALL valid source depth (main + edge together)
+    both = jnp.maximum(main_depth, edge_depth)
+    big = jnp.where(both > min_depth, both, jnp.inf)
+    small = jnp.where(both > min_depth, both, -jnp.inf)
+    z_near = jnp.maximum(jnp.min(big), min_depth)
+    z_far = jnp.maximum(jnp.max(small), z_near * 1.001)
+    inv_near = 1.0 / z_near
+    inv_far = 1.0 / z_far
+    d_inv = (inv_near - inv_far) / (num_planes - 1)
+    ids = jnp.arange(num_planes, dtype=jnp.float32)
+    plane_z = 1.0 / (inv_near - d_inv * ids)
+    plane_tol = tol_scale * plane_z * plane_z * d_inv + 1e-4
+
+    disp = -fx * t[0] * (1.0 / plane_z - conv_inv_z)
+    disp = jnp.clip(disp, -(max_disparity - 2.0), max_disparity - 2.0)
+    disp_int = jnp.floor(disp).astype(jnp.int32)
+    disp_frac = disp - jnp.floor(disp)
+
+    pad_left, pad_right = warp_pallas.pad_widths(w, max_disparity)
+    pads = ((0, 0), (pad_left, pad_right))
+    depth_pad = jnp.pad(main_depth, pads)
+    edepth_pad = jnp.pad(edge_depth, pads)
+    shared_pad = jnp.pad(color_f.transpose(2, 0, 1),
+                         ((0, 0),) + pads)
+    extra_pad = jnp.pad(extra_f.transpose(2, 0, 1),
+                        ((0, 0),) + pads)
+
+    block_rows = 32  # dual kernel VMEM budget (see disparity_sweep_dual)
+    act_m = warp_pallas.plane_activity(main_depth, inv_near, d_inv,
+                                       num_planes, block_rows=block_rows)
+    act_e = warp_pallas.plane_activity(edge_depth, inv_near, d_inv,
+                                       num_planes, block_rows=block_rows)
+
+    (best_z, out_color, found, a_color, a_extra,
+     a_found) = warp_pallas.disparity_sweep_dual(
+        depth_pad, edepth_pad, shared_pad, extra_pad, disp_int,
+        disp_frac, plane_z, plane_tol, act_m, act_e,
+        num_planes=num_planes, pad_left=pad_left,
+        block_rows=block_rows, interpret=interpret)
+
+    main = WarpResult(color=out_color,
+                      depth=jnp.where(found, best_z, INF_DEPTH),
+                      mask=found, edge_mask=edge & valid_src)
+    return main, a_color, a_extra, a_found
+
+
 def warp_pixel_ids(depth, k_src, k_dst, transform, out_hw,
                    subsample=1, remove_edges=False, of_by_one=True):
     """Forward-warp carrying each source pixel's flat id as the payload.

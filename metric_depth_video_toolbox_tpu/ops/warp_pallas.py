@@ -104,6 +104,98 @@ def _make_sweep_kernel(num_planes, width, pad_left, seg_w, n_chan):
     return kernel
 
 
+def _make_dual_sweep_kernel(num_planes, width, pad_left, seg_w, n_shared,
+                            n_extra):
+    """Kernel factory for the FUSED main+edge-anchor sweep.
+
+    One plane loop renders two surfaces from two depth maps that share
+    the projection (same planes, same per-plane disparity):
+
+      - main: non-edge depth -> front-most z + ``n_shared`` payload chans
+      - edge: edge-only depth -> anchor payload (the same shared chans
+        plus ``n_extra`` edge-only chans, e.g. encoded normals)
+
+    This replaces the separate second sweep the stereo edge-anchor pass
+    used to run (reference stereo_rerender.py:589-607 re-renders culled
+    silhouette pixels into the holes): the shifted shared payload is
+    computed ONCE per plane and written to whichever surface hit, so the
+    anchor layer costs only one extra depth shift per active plane plus
+    edge-predicated extra-channel work (edges are sparse, so the
+    per-plane ``any(ok_edge)`` predicate skips almost all of it).
+    """
+
+    def kernel(disp_int_ref, disp_frac_ref, z_ref, tol_ref, act_m_ref,
+               act_e_ref, depth_ref, edepth_ref, *rest):
+        shared_refs = rest[:n_shared]
+        extra_refs = rest[n_shared:n_shared + n_extra]
+        outs = rest[n_shared + n_extra:]
+        out_z_ref = outs[0]
+        out_shared = outs[1:1 + n_shared]
+        out_efound_ref = outs[1 + n_shared]
+        out_eshared = outs[2 + n_shared:2 + 2 * n_shared]
+        out_extra = outs[2 + 2 * n_shared:]
+        bh = out_z_ref.shape[0]
+        tile = pl.program_id(0)
+
+        out_z_ref[:] = jnp.full((bh, width), INF_DEPTH, jnp.float32)
+        for oc in out_shared:
+            oc[:] = jnp.zeros((bh, width), jnp.float32)
+        out_efound_ref[:] = jnp.zeros((bh, width), jnp.float32)
+        for oc in out_eshared:
+            oc[:] = jnp.zeros((bh, width), jnp.float32)
+        for oc in out_extra:
+            oc[:] = jnp.zeros((bh, width), jnp.float32)
+
+        def body(p, _):
+            @pl.when(act_m_ref[tile, p] + act_e_ref[tile, p] > 0)
+            def _():
+                d0 = disp_int_ref[p] + pad_left
+                f = disp_frac_ref[p]
+                z_p = z_ref[p]
+                tol = tol_ref[p]
+                q = pl.multiple_of((d0 // LANE) * LANE, LANE)
+                r = d0 - q
+
+                def shifted(ref):
+                    seg = ref[:, pl.ds(q, seg_w)]
+                    nb = pltpu.roll(seg, seg_w - 1, axis=1)
+                    lerped = (1.0 - f) * seg + f * nb
+                    rot = pltpu.roll(lerped,
+                                     jnp.where(r == 0, 0, seg_w - r),
+                                     axis=1)
+                    return rot[:, :width]
+
+                hit_m = act_m_ref[tile, p] > 0
+                hit_e = act_e_ref[tile, p] > 0
+                d_s = shifted(depth_ref)
+                e_s = shifted(edepth_ref)
+                ok_m = (jnp.abs(d_s - z_p) < tol) & (d_s > 1e-3) & \
+                    (out_z_ref[:] > INF_DEPTH * 0.5) & hit_m
+                ok_e = (jnp.abs(e_s - z_p) < tol) & (e_s > 1e-3) & \
+                    (out_efound_ref[:] < 0.5) & hit_e
+
+                @pl.when(jnp.any(ok_m | ok_e))
+                def _():
+                    for cr, om, oe in zip(shared_refs, out_shared,
+                                          out_eshared):
+                        s = shifted(cr)
+                        om[:] = jnp.where(ok_m, s, om[:])
+                        oe[:] = jnp.where(ok_e, s, oe[:])
+                    out_z_ref[:] = jnp.where(ok_m, d_s, out_z_ref[:])
+
+                @pl.when(jnp.any(ok_e))
+                def _():
+                    for er, oc in zip(extra_refs, out_extra):
+                        oc[:] = jnp.where(ok_e, shifted(er), oc[:])
+                    out_efound_ref[:] = jnp.where(ok_e, 1.0,
+                                                  out_efound_ref[:])
+            return 0
+
+        jax.lax.fori_loop(0, num_planes, body, 0)
+
+    return kernel
+
+
 def plane_activity(depth, inv_near, d_inv, num_planes, block_rows=64,
                    margin=4):
     """Per-(row-tile, plane) activity bitmap for the sweep kernel.
@@ -209,3 +301,66 @@ def disparity_sweep(depth_pad, color_pad, disp_int, disp_frac, plane_z,
     color = jnp.stack(outs[1:1 + n_chan], axis=-1)
     found = outs[1 + n_chan]
     return best_z, color, found > 0.5
+
+
+@functools.partial(jax.jit, static_argnames=("num_planes", "pad_left",
+                                             "block_rows", "interpret"))
+def disparity_sweep_dual(depth_pad, edepth_pad, shared_pad, extra_pad,
+                         disp_int, disp_frac, plane_z, plane_tol,
+                         active_main, active_edge, num_planes, pad_left,
+                         block_rows=32, interpret=False):
+    """Fused main + edge-anchor plane sweep (see _make_dual_sweep_kernel).
+
+    depth_pad:  (H, W+pads) f32 main (non-edge) source depth, 0 = invalid.
+    edepth_pad: (H, W+pads) f32 edge-only source depth, 0 = invalid.
+    shared_pad: (S, H, W+pads) f32 payload written to BOTH surfaces
+                (color planes).
+    extra_pad:  (E, H, W+pads) f32 payload written only to the edge
+                surface (encoded normals).
+    active_main/active_edge: (ntiles, P) int32 per-(row-tile, plane)
+                activity bitmaps (plane_activity) for each depth map.
+
+    Returns (best_z (H,W), main_color (H,W,S), main_found bool,
+             edge_color (H,W,S), edge_extra (H,W,E), edge_found bool).
+
+    block_rows defaults to 32 (not 64): the dual kernel holds 8 input +
+    11 output row refs in VMEM, so 64-row tiles exceed the ~16 MB VMEM
+    budget with input double-buffering.
+    """
+    h, wp = depth_pad.shape
+    w = wp - (2 * pad_left + 2 * LANE)
+    seg_w = w + 2 * LANE
+    bh = min(block_rows, h)
+    grid = (pl.cdiv(h, bh),)
+    n_shared = shared_pad.shape[0]
+    n_extra = extra_pad.shape[0]
+
+    kernel = _make_dual_sweep_kernel(num_planes, w, pad_left, seg_w,
+                                     n_shared, n_extra)
+    row_spec = pl.BlockSpec((bh, wp), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bh, w), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    n_out = 2 + 2 * n_shared + n_extra
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=grid,
+        in_specs=[row_spec] * (2 + n_shared + n_extra),
+        out_specs=[out_spec] * n_out,
+    )
+    out_shape = [jax.ShapeDtypeStruct((h, w), jnp.float32)
+                 for _ in range(n_out)]
+    outs = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret,
+    )(disp_int, disp_frac, plane_z, plane_tol, active_main, active_edge,
+      depth_pad, edepth_pad,
+      *[shared_pad[i] for i in range(n_shared)],
+      *[extra_pad[i] for i in range(n_extra)])
+    best_z = outs[0]
+    main_color = jnp.stack(outs[1:1 + n_shared], axis=-1)
+    efound = outs[1 + n_shared]
+    edge_color = jnp.stack(outs[2 + n_shared:2 + 2 * n_shared], axis=-1)
+    edge_extra = jnp.stack(outs[2 + 2 * n_shared:], axis=-1)
+    return (best_z, main_color, best_z < INF_DEPTH * 0.5,
+            edge_color, edge_extra, efound > 0.5)

@@ -76,7 +76,13 @@ class StereoConfig:
     has_convergence: bool = True
     # 'shift' = HIT (horizontal image translation, free in the sweep);
     # 'rotate' = the reference's exact toe-in (rotation resample pre-pass)
-    convergence_mode: str = "shift" 
+    convergence_mode: str = "shift"
+    # Render main surface + edge-anchor layer in ONE fused Pallas pass
+    # (stereo_sweep_warp_dual) instead of a second anchor-only sweep.
+    # Default off: measured SLOWER on dense/random-depth scenes (anchor
+    # cost 9.3 -> 17.5 ms/frame) because the edge stream rides the full
+    # plane set; flip on only if re-measured faster on real content.
+    fused_anchor_sweep: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -136,6 +142,9 @@ def render_eye(depth, color, k, render_k, transform, eye_shift_m,
     half_ipd = cfg.pupillary_distance_m / 2.0
     conv_inv_z = jnp.tan(conv_angle) / half_ipd
 
+    fused_anchors = (cfg.fused_anchor_sweep and cfg.warp_method == "sweep"
+                     and cfg.remove_edges and cfg.place_edge_points)
+    a_color = a_extra = a_found = None
     if cfg.warp_method == "sweep":
         # Pallas fast path: same-camera re-render, x-only translation.
         # Convergence handling: 'shift' (default) = HIT folded into the
@@ -143,13 +152,28 @@ def render_eye(depth, color, k, render_k, transform, eye_shift_m,
         # toe-in via a rotation-neutralizing resample (slower).
         m_sweep = m_eye if rotate_conv else \
             geo.translation_matrix(-eye_shift_m, 0.0, 0.0)
-        res = rasterize.stereo_sweep_warp(
-            depth, color, k, m_sweep,
-            num_planes=cfg.num_planes,
-            remove_edges=cfg.remove_edges,
-            neutralize_rotation=rotate_conv,
-            conv_inv_z=0.0 if rotate_conv else conv_inv_z,
-            edge=edge_pre)
+        if fused_anchors:
+            # one kernel pass renders the main surface AND the
+            # edge-anchor layer (color + encoded-normal seeds for the
+            # infill, reference stereo_rerender.py:589-607, 745-814)
+            normals = normals_pre if normals_pre is not None \
+                else geo.normals_from_depth(depth, k)
+            normals_t = jnp.einsum("ij,hwj->hwi", m_eye[:3, :3], normals)
+            res, a_color, a_extra, a_found = \
+                rasterize.stereo_sweep_warp_dual(
+                    depth, color, (normals_t + 1.0) / 2.0, k, m_sweep,
+                    num_planes=cfg.num_planes,
+                    neutralize_rotation=rotate_conv,
+                    conv_inv_z=0.0 if rotate_conv else conv_inv_z,
+                    edge=edge_pre)
+        else:
+            res = rasterize.stereo_sweep_warp(
+                depth, color, k, m_sweep,
+                num_planes=cfg.num_planes,
+                remove_edges=cfg.remove_edges,
+                neutralize_rotation=rotate_conv,
+                conv_inv_z=0.0 if rotate_conv else conv_inv_z,
+                edge=edge_pre)
     elif cfg.warp_method == "plane_sweep":
         res = rasterize.plane_sweep_warp(
             depth, color, k, render_k, m_eye,
@@ -173,35 +197,25 @@ def render_eye(depth, color, k, render_k, transform, eye_shift_m,
     if cfg.place_edge_points and cfg.remove_edges:
         # Edge anchors: the culled silhouette pixels, re-rendered into the
         # holes so diffusion infill has color/normal seeds (reference
-        # stereo_rerender.py:589-607, 745-814). Instead of a scatter splat
-        # (slow inside fused programs), run a SECOND sweep over an
-        # edge-only depth map carrying [color, encoded normal] payloads —
-        # same projection math, VMEM speed.
-        normals = normals_pre if normals_pre is not None \
-            else geo.normals_from_depth(depth, k)
-        rot = m_eye[:3, :3]
-        normals_t = jnp.einsum("ij,hwj->hwi", rot, normals)
-        if cfg.warp_method == "sweep":
-            edge_depth = jnp.where(res.edge_mask, depth, 0.0)
-            payload = jnp.concatenate(
-                [color, (normals_t + 1.0) / 2.0], axis=-1)
-            eres = rasterize.stereo_sweep_warp(
-                edge_depth, payload, k,
-                m_eye if rotate_conv else
-                geo.translation_matrix(-eye_shift_m, 0.0, 0.0),
-                num_planes=cfg.num_planes // 4,
-                remove_edges=False,
-                neutralize_rotation=rotate_conv,
-                conv_inv_z=0.0 if rotate_conv else conv_inv_z)
-            write = eres.mask & hole
-            image = jnp.where(write[..., None], eres.color[..., :3], image)
+        # stereo_rerender.py:589-607, 745-814). On the sweep path the
+        # anchor layer comes out of the SAME fused kernel pass as the
+        # main surface (stereo_sweep_warp_dual); other warp methods use
+        # a point splat.
+        if fused_anchors:
+            # anchor layer already rendered by the fused dual sweep
+            write = a_found & hole
+            image = jnp.where(write[..., None], a_color, image)
             if not cfg.green_and_black_infill_mask:
-                a_n = eres.color[..., 3:] * 2.0 - 1.0
+                a_n = a_extra * 2.0 - 1.0
                 a_n = a_n / (jnp.linalg.norm(a_n, axis=-1,
                                              keepdims=True) + 1e-8)
                 mask_img = jnp.where(write[..., None], (a_n + 1.0) / 2.0,
                                      mask_img)
         else:
+            normals = normals_pre if normals_pre is not None \
+                else geo.normals_from_depth(depth, k)
+            rot = m_eye[:3, :3]
+            normals_t = jnp.einsum("ij,hwj->hwi", rot, normals)
             pts_cam = geo.unproject_depth(depth, k, of_by_one=False)
             pts_t = geo.transform_depth_map(pts_cam, m_eye)
             valid = res.edge_mask & (depth > 1e-4)

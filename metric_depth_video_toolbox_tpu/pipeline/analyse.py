@@ -15,10 +15,10 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from metric_depth_video_toolbox_tpu.io import native as io_native
 from metric_depth_video_toolbox_tpu.io import pointcloud as pcio
 from metric_depth_video_toolbox_tpu.io import sidecar
 from metric_depth_video_toolbox_tpu.io import video as vio
-from metric_depth_video_toolbox_tpu.ops import codec
 from metric_depth_video_toolbox_tpu.ops import geometry as geo
 
 
@@ -85,8 +85,10 @@ def analyse_depth_movement(depth_video, tracking_file,
         rgb = dv.read_batch(1)
         if rgb is None:
             break
-        depth = np.asarray(codec.decode_depth_frame(
-            jnp.asarray(rgb[0]), max_depth, average_rg=True))
+        # host-only analysis path: native C++ decode avoids a device
+        # round-trip per frame (io/native.py falls back to numpy)
+        depth = io_native.decode_rgb_depth(rgb[0], max_depth,
+                                           average_rg=True)
         tr = dense[fr]
         ok = tr[:, 2] > 0
         xi = np.clip(np.round(tr[ok, 0]).astype(int), 0, w - 1)

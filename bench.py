@@ -64,7 +64,7 @@ def _synth_batch_random(rng, b):
     return depth, color
 
 
-def bench_stereo(jit_warm=True, scene="smooth"):
+def bench_stereo(jit_warm=True, scene="smooth", fused=None):
     """Device stereo step in the MOVIE-PIPELINE configuration: edge-point
     splatting + infill-mask emission ON (movie step5 defaults; the
     reference hot path includes both, stereo_rerender.py:589-607,
@@ -78,11 +78,13 @@ def bench_stereo(jit_warm=True, scene="smooth"):
     rng = np.random.default_rng(0)
     synth = _synth_batch if scene == "smooth" else _synth_batch_random
     depth, color = synth(rng, BATCH)
+    kw = {} if fused is None else {"fused_anchor_sweep": fused}
     cfg = stereo.StereoConfig(width=W, height=H, out_width=W, out_height=H,
                               max_depth=100.0, remove_edges=True,
                               place_edge_points=True,
                               make_infill_mask=True,
-                              warp_method="sweep", has_convergence=True)
+                              warp_method="sweep", has_convergence=True,
+                              **kw)
     k = np.asarray(geo.camera_matrix_from_fov(W, H, xfov_deg=60.0),
                    np.float32)
     enc = jax.jit(lambda d: codec.encode_depth_frame(d, 100.0))

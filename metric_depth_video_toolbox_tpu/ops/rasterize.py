@@ -581,10 +581,15 @@ def stereo_sweep_warp_dual(depth, color, extra, k, transform,
         color_f = _bilinear_gather(color_f, u_s, v_s, fill=0.0)
         extra_f = _bilinear_gather(extra_f, u_s, v_s, fill=0.0)
 
-    # plane set spans ALL valid source depth (main + edge together)
-    both = jnp.maximum(main_depth, edge_depth)
-    big = jnp.where(both > min_depth, both, jnp.inf)
-    small = jnp.where(both > min_depth, both, -jnp.inf)
+    # Plane set from the MAIN (edge-culled) depth only — identical to
+    # stereo_sweep_warp so the main surface is bit-equal to the single
+    # sweep. Edge pixels sit on the same surfaces as their non-edge
+    # neighbours, so anchor depths lie inside this range too; ranging
+    # over the resampled edge-only map instead would let silhouette
+    # pixels bilinearly blended with the 0-fill (e.g. 3 m next to a
+    # hole -> 1.5 m) stretch z_near and shift every plane.
+    big = jnp.where(main_depth > min_depth, main_depth, jnp.inf)
+    small = jnp.where(main_depth > min_depth, main_depth, -jnp.inf)
     z_near = jnp.maximum(jnp.min(big), min_depth)
     z_far = jnp.maximum(jnp.max(small), z_near * 1.001)
     inv_near = 1.0 / z_near

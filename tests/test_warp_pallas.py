@@ -168,3 +168,34 @@ def test_dual_sweep_stereo_frame_anchor_seeds():
     assert img.shape == (h, 2 * w, 3)
     # the mask must mark disocclusion holes on at least one eye
     assert (mask > 0).any()
+
+
+def test_dual_sweep_rotation_neutralized_matches_single():
+    """Fused dual sweep with a toe-in rotation (neutralize_rotation):
+    the main surface must match the single-sweep rotate path."""
+    rng = np.random.default_rng(5)
+    h, w = 48, 256
+    k = np.asarray(geo.camera_matrix_from_fov(w, h, xfov_deg=60.0))
+    depth = np.full((h, w), 10.0, np.float32)
+    depth[:, 120:170] = 3.0
+    color = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    extra = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    m = np.asarray(geo.rotation_y(np.radians(1.0)) @
+                   geo.translation_matrix(0.05, 0.0, 0.0), np.float32)
+
+    main, a_color, a_extra, a_found = rasterize.stereo_sweep_warp_dual(
+        jnp.asarray(depth), jnp.asarray(color), jnp.asarray(extra),
+        jnp.asarray(k), jnp.asarray(m), num_planes=64,
+        neutralize_rotation=True, interpret=True)
+    ref = rasterize.stereo_sweep_warp(
+        jnp.asarray(depth), jnp.asarray(color), jnp.asarray(k),
+        jnp.asarray(m), num_planes=64, remove_edges=True,
+        neutralize_rotation=True, interpret=True)
+
+    mk = np.asarray(main.mask) & np.asarray(ref.mask)
+    assert mk.mean() > 0.8
+    assert np.allclose(np.asarray(main.depth)[mk],
+                       np.asarray(ref.depth)[mk], atol=1e-4)
+    assert np.allclose(np.asarray(main.color)[mk],
+                       np.asarray(ref.color)[mk], atol=1e-4)
+    assert np.asarray(a_found).any()

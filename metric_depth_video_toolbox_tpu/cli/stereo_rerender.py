@@ -45,6 +45,10 @@ def build_parser(parser=None):
                    help="disparity-sweep plane count (quality vs speed)")
     p.add_argument("--compressed", action="store_true",
                    help="lossy codec output (smaller, lower quality)")
+    p.add_argument("--fused_anchor_sweep", action="store_true",
+                   help="render main surface + edge anchors in one "
+                        "fused Pallas pass (fastest on piecewise-"
+                        "smooth real content)")
     p.add_argument("--mask_video", type=str,
                    help="foreground mask; switches to background-"
                         "accumulation rendering")
@@ -105,7 +109,8 @@ def run(args):
             mask_video=args.mask_video, save_background=args.save_background,
             load_background=args.load_background,
             render_as_pointcloud=args.render_as_pointcloud,
-            num_planes=args.num_planes, compressed=args.compressed)
+            num_planes=args.num_planes, compressed=args.compressed,
+            fused_anchor_sweep=args.fused_anchor_sweep)
     print(f"Processing complete. Output saved to: {out}")
     return out
 

@@ -395,7 +395,7 @@ def render_stereo_video(depth_video, color_video=None, output=None,
                         load_background=None,
                         render_as_pointcloud=False,
                         vr180_eye_size=1920, num_planes=128,
-                        compressed=False):
+                        compressed=False, fused_anchor_sweep=False):
     """Stream a depth(+color) video through the device stereo step.
 
     Mirrors the reference CLI semantics (stereo_rerender.py argparse,
@@ -450,7 +450,8 @@ def render_stereo_video(depth_video, color_video=None, output=None,
         touchly_min_depth=touchly_min_depth, vr180=vr180,
         warp_method=warp_method, num_planes=num_planes,
         subsample=1 if render_as_pointcloud else StereoConfig.subsample,
-        has_convergence=convergence_depths is not None)
+        has_convergence=convergence_depths is not None,
+        fused_anchor_sweep=fused_anchor_sweep)
 
     if touchly1:
         suffix, out_size = "_Touchly1.mkv", (w, h * 2)

@@ -12,7 +12,11 @@ def build_parser(parser=None):
     p.add_argument("--depth_video", type=str, required=True)
     p.add_argument("--track_file", type=str, required=True)
     p.add_argument("--transformation_file", type=str)
-    p.add_argument("--xfov", type=float, default=50.0)
+    p.add_argument("--xfov", type=float)
+    p.add_argument("--yfov", type=float)
+    p.add_argument("--mask_video", type=str,
+                   help="black/white mask video: white = exclude from "
+                        "analysis (reference analyse_depth.py:23)")
     p.add_argument("--max_depth", default=100, type=float)
     p.add_argument("--max_frames", default=-1, type=int)
     return p
@@ -23,6 +27,7 @@ def run(args):
     out, moving = analyse.analyse_depth_movement(
         args.depth_video, args.track_file,
         transformation_file=args.transformation_file, xfov=args.xfov,
+        yfov=args.yfov, mask_video=args.mask_video,
         max_depth=args.max_depth, max_frames=args.max_frames)
     print(f"movement cloud: {out}")
     print(f"moving tracks: {moving}")

@@ -23,13 +23,39 @@ def _base_parser(desc, require_fov=False):
     p = argparse.ArgumentParser(description=desc)
     p.add_argument("--color_video", type=str, required=True)
     p.add_argument("--max_depth", default=100, type=float)
-    p.add_argument("--max_frames", default=-1, type=int)
+    p.add_argument("--max_frames", "--max_len", dest="max_frames",
+                   default=-1, type=int)
+    p.add_argument("--target_fps", default=-1, type=float,
+                   help="resample the input to this fps before "
+                        "inference (-1 = original fps)")
+    p.add_argument("--output_dir", type=str,
+                   help="write outputs here instead of next to the "
+                        "input video")
     p.add_argument("--xfov", type=float, required=require_fov)
     p.add_argument("--yfov", type=float)
     p.add_argument("--model_size", default="vits")
     p.add_argument("--input_size", default=518, type=int)
     p.add_argument("--checkpoint", type=str)
     return p
+
+
+def _relocate(outs, output_dir):
+    """Move outputs (+ sidecars) into --output_dir (reference
+    unidepth_video.py:22,77-78 writes into an output dir)."""
+    import os
+    import shutil
+    if not output_dir:
+        return outs
+    os.makedirs(output_dir, exist_ok=True)
+    moved = []
+    for o in outs:
+        for suffix in ("", "_xfovs.json", "_transformations.json"):
+            src = o + suffix
+            if os.path.exists(src):
+                shutil.move(src, os.path.join(output_dir,
+                                              os.path.basename(src)))
+        moved.append(os.path.join(output_dir, os.path.basename(o)))
+    return moved
 
 
 def _run_single_frame(args, save_xfovs, variant="da"):
@@ -42,7 +68,9 @@ def _run_single_frame(args, save_xfovs, variant="da"):
         "single_frame", args.color_video, max_depth=args.max_depth,
         max_frames=args.max_frames, size=args.model_size,
         input_size=args.input_size, params=params, xfov=args.xfov,
-        yfov=args.yfov, save_xfovs=save_xfovs, variant=variant)
+        yfov=args.yfov, save_xfovs=save_xfovs, variant=variant,
+        target_fps=args.target_fps)
+    outs = _relocate(outs, args.output_dir)
     for o in outs:
         print(f"depth video saved: {o}")
     return outs
@@ -107,7 +135,15 @@ def da3_main(argv=None):
                    help="converted DINOv2 ViT checkpoint to graft into "
                         "the DA3 backbone (the dominant parameter mass; "
                         "DA3 is DINOv2-based, reference video_da3.py:274)")
+    p.add_argument("--xfov_file", type=str,
+                   help="per-frame xfov json (e.g. *_xfovs.json): "
+                        "known-intrinsics conditioning, reference "
+                        "video_da3.py:92-112")
     args = p.parse_args(argv)
+    xfovs = None
+    if args.xfov_file:
+        from metric_depth_video_toolbox_tpu.io import sidecar
+        xfovs = sidecar.load_xfovs(args.xfov_file)
     from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
     outs = dstage.run_batch(
         "da3", args.color_video, max_depth=args.max_depth,
@@ -115,7 +151,8 @@ def da3_main(argv=None):
         images_per_batch=args.images_per_batch,
         overlap=args.batch_overlap, num_ref_frames=args.nr_of_ref_frames,
         resolution=args.da3_resolution,
-        backbone=args.backbone_checkpoint)
+        backbone=args.backbone_checkpoint,
+        xfov=args.xfov, yfov=args.yfov, xfovs=xfovs)
     for o in outs:
         print(f"depth video saved: {o}")
     return outs
@@ -140,6 +177,26 @@ def _add_diffusion_model_flag(p):
                    help="'svd' = production SVD-class graph (implied by "
                         "--checkpoint); 'tiny' = fast random-weight "
                         "stand-in for smoke runs")
+    p.add_argument("--max_res", type=int,
+                   help="cap the diffusion working resolution's long "
+                        "side (aspect-preserving, rounded to x64; "
+                        "reference depthcrafter_video.py:52 default "
+                        "768)")
+
+
+def _diffusion_work_hw(args, default=None):
+    """--max_res -> work_hw from the input video's aspect ratio."""
+    if not getattr(args, "max_res", None):
+        return {}
+    import cv2
+    cap = cv2.VideoCapture(args.color_video)
+    w = cap.get(cv2.CAP_PROP_FRAME_WIDTH) or 16
+    h = cap.get(cv2.CAP_PROP_FRAME_HEIGHT) or 9
+    cap.release()
+    scale = args.max_res / max(w, h)
+    rh = max(64, int(round(h * scale / 64)) * 64)
+    rw = max(64, int(round(w * scale / 64)) * 64)
+    return {"work_hw": (rh, rw)}
 
 
 def depthcrafter_main(argv=None):
@@ -148,6 +205,10 @@ def depthcrafter_main(argv=None):
     p.add_argument("--depth_video", type=str, required=True)
     p.add_argument("--window", default=110, type=int)
     p.add_argument("--overlap", default=25, type=int)
+    p.add_argument("--use_depth_prompting", action="store_true",
+                   help="experimental: prompt the sampler with the "
+                        "reference depth's VAE latent (SDEdit-style "
+                        "init; reference depthcrafter_video.py:131-177)")
     _add_diffusion_model_flag(p)
     args = p.parse_args(argv)
     from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
@@ -155,7 +216,9 @@ def depthcrafter_main(argv=None):
         "depthcrafter", args.color_video, max_depth=args.max_depth,
         max_frames=args.max_frames,
         reference_depth_video=args.depth_video, window=args.window,
-        overlap=args.overlap, **_diffusion_extra(args))
+        overlap=args.overlap,
+        use_depth_prompting=args.use_depth_prompting,
+        **_diffusion_work_hw(args), **_diffusion_extra(args))
     for o in outs:
         print(f"depth video saved: {o}")
     return outs
@@ -173,15 +236,26 @@ def geometrycrafter_main(argv=None):
                    help="prior depth video to stabilize")
     p.add_argument("--window", default=110, type=int)
     p.add_argument("--overlap", default=5, type=int)
+    p.add_argument("--xfov_file", type=str,
+                   help="per-frame xfov json for the point-map "
+                        "unprojection (reference geometrycrafter_video"
+                        ".py xfov_file); the median FOV is used — the "
+                        "point maps are median-z normalized, so "
+                        "per-scene FOV drift is absorbed")
     _add_diffusion_model_flag(p)
     args = p.parse_args(argv)
+    xfov = args.xfov
+    if args.xfov_file:
+        import numpy as np
+        from metric_depth_video_toolbox_tpu.io import sidecar
+        xfov = float(np.median(sidecar.load_xfovs(args.xfov_file)))
     from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
     outs = dstage.run_batch(
         "geometrycrafter", args.color_video, max_depth=args.max_depth,
-        max_frames=args.max_frames, xfov=args.xfov,
+        max_frames=args.max_frames, xfov=xfov,
         reference_depth_video=args.depth_video,
         window=args.window, overlap=args.overlap, size=args.model_size,
-        **_diffusion_extra(args))
+        **_diffusion_work_hw(args), **_diffusion_extra(args))
     for o in outs:
         print(f"depth video saved: {o}")
     return outs
@@ -200,6 +274,9 @@ def mvsa_main(argv=None):
     p.add_argument("--rescale_to_cost_volume", action="store_true",
                    help="apply the median cost-volume/refined depth "
                    "ratio per frame")
+    p.add_argument("--fast_cost_volume", action="store_true",
+                   help="speed over quality: half the plane-sweep "
+                        "hypotheses (reference video_mvsa.py:77)")
     args = p.parse_args(argv)
     from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
     params = None
@@ -212,7 +289,7 @@ def mvsa_main(argv=None):
         transformation_file=args.transformation_file,
         size=args.model_size, window=args.window, resize_w=args.resize_w,
         rescale_to_cost_volume=args.rescale_to_cost_volume,
-        params=params)
+        fast_cost_volume=args.fast_cost_volume, params=params)
     for o in outs:
         print(f"depth video saved: {o}")
     return outs

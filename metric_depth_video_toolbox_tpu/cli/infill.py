@@ -44,6 +44,10 @@ def build_parser(parser=None):
                         "SVD cross-attention conditioning")
     p.add_argument("--max_frames", default=-1, type=int)
     p.add_argument("--batch_size", default=4, type=int)
+    p.add_argument("--num_inference_steps", type=int,
+                   help="denoise steps for the diffusion engines (more "
+                        "looks better but is slower; reference "
+                        "stereo_crafter_infill.py:281 default 5)")
     return p
 
 
@@ -95,6 +99,10 @@ def run(args):
                         cfg = dif.DIFFUSION_SVD
                     else:
                         cfg = dif.DIFFUSION_TINY
+                    if args.num_inference_steps:
+                        import dataclasses
+                        cfg = dataclasses.replace(
+                            cfg, num_steps=args.num_inference_steps)
                     shared_engine = infill_diffusion.make_engine(
                         preset, cfg=cfg, params=params, **extra)
                 eng, drv = shared_engine

@@ -195,14 +195,25 @@ class DA3(nn.Module):
     cfg: DA3Config
 
     @nn.compact
-    def __call__(self, frames):
+    def __call__(self, frames, cam_rays=None):
         """frames: (V, H, W, 3) [0,1] -> dict with depth (V, H, W),
         w2c (V, 4, 4), xfov_deg (V,), rays (V, H, W, 3) when
-        cfg.ray_head."""
+        cfg.ray_head.
+
+        ``cam_rays``: optional (V, gh, gw, 3) unit camera-ray directions
+        at patch centers — known-intrinsics conditioning (the reference
+        passes per-frame K into DA3 inference when --xfov/--xfov_file is
+        given, video_da3.py:100-112)."""
         c = self.cfg
         feats, cls = vit_mod.ViT(c.vit, name="backbone")(frames)
         v, gh, gw, d = feats[-1].shape
         dt = c.vit.compute_dtype
+
+        if cam_rays is not None:
+            ray_tok = nn.Dense(d, dtype=dt, name="ray_embed")(
+                cam_rays.astype(dt)).reshape(v, gh * gw, d)
+            feats[-1] = (feats[-1].reshape(v, gh * gw, d).astype(dt)
+                         + ray_tok).reshape(v, gh, gw, d)
 
         # cross-view transformer over the finest-level tokens + one
         # learnable pose token per view
@@ -240,7 +251,8 @@ class DA3Engine:
 
     def __init__(self, cfg=None, params=None, images_per_batch=40,
                  overlap=6, num_ref_frames=6, resolution=504,
-                 rng_seed=0, backbone=None):
+                 rng_seed=0, backbone=None, xfov=None, yfov=None,
+                 xfovs=None):
         self.cfg = cfg or DA3_L
         self.model = DA3(self.cfg)
         self.images_per_batch = images_per_batch
@@ -251,6 +263,11 @@ class DA3Engine:
         self._pending_backbone = None
         self._rng = jax.random.PRNGKey(rng_seed)
         self._apply = self.model.apply
+        # known-intrinsics conditioning (reference video_da3.py:87-112):
+        # scalar --xfov/--yfov or per-frame --xfov_file list
+        self.xfov, self.yfov = xfov, yfov
+        self.xfovs = None if xfovs is None else np.asarray(xfovs,
+                                                           np.float32)
         if backbone is not None:
             self.load_backbone(backbone)
 
@@ -314,19 +331,41 @@ class DA3Engine:
         n_ref = min(self.num_ref_frames, t) if t > n_batch else 0
         v_total = n_batch + n_ref + (self.overlap if t > n_batch else 0)
 
+        # known-intrinsics conditioning: per-frame patch-center rays
+        from metric_depth_video_toolbox_tpu.models import depth_anything \
+            as da_mod
+        patch = self.cfg.vit.patch_size
+        gh, gw = wh // patch, ww // patch
+        known_fovs = None
+        if self.xfovs is not None:
+            known_fovs = np.resize(self.xfovs, t).astype(np.float32)
+        elif self.xfov is not None or self.yfov is not None:
+            xf = self.xfov if self.xfov is not None else \
+                float(np.degrees(2 * np.arctan(
+                    np.tan(np.radians(self.yfov) / 2) * w / h)))
+            known_fovs = np.full(t, xf, np.float32)
+        all_rays = None
+        if known_fovs is not None:
+            all_rays = np.stack([
+                np.asarray(da_mod.patch_center_rays(float(f), gh, gw))
+                for f in known_fovs])  # (T, gh, gw, 3)
+
         if self._params is None:
             x = jnp.zeros((v_total, wh, ww, 3))
-            self._params = jax.jit(self.model.init)(self._rng, x)
+            r0 = (jnp.zeros((v_total, gh, gw, 3))
+                  if all_rays is not None else None)
+            self._params = jax.jit(
+                lambda rng, xx: self.model.init(rng, xx, r0))(self._rng, x)
             if self._pending_backbone is not None:
                 self._graft_backbone(self._pending_backbone)
                 self._pending_backbone = None
 
         @jax.jit
-        def run(params, batch_u8):
+        def run(params, batch_u8, rays=None):
             x = batch_u8.astype(jnp.float32) / 255.0
             x = jax.image.resize(x, (batch_u8.shape[0], wh, ww, 3),
                                  "bilinear")
-            out = self._apply(params, x)
+            out = self._apply(params, x, rays)
             d = jax.image.resize(out["depth"],
                                  (batch_u8.shape[0], h, w), "bilinear")
             return d, out["w2c"], out["xfov_deg"]
@@ -355,8 +394,10 @@ class DA3Engine:
             pad = v_total - idx.size
             if pad > 0:
                 idx = np.concatenate([idx, np.full(pad, idx[-1])])
-            d, w2c, fov = robust_call(run, self._params,
-                                      jnp.asarray(frames_u8[idx]))
+            d, w2c, fov = robust_call(
+                run, self._params, jnp.asarray(frames_u8[idx]),
+                jnp.asarray(all_rays[idx]) if all_rays is not None
+                else None)
             c2w = np.linalg.inv(w2c)  # DA3 extrinsics are w2c (:257-260)
 
             ref_d = d[:n_pre] if n_pre else None
@@ -400,4 +441,7 @@ class DA3Engine:
             if start + n_batch >= t:
                 break
             start += step
+        if known_fovs is not None:
+            # with known intrinsics the sidecar carries them verbatim
+            fov_out = known_fovs
         return depth_out, c2w_out, fov_out

@@ -248,10 +248,17 @@ def edm_sigmas(cfg: DiffusionConfig):
 
 
 def sample(unet_apply, params, rng, shape, cfg: DiffusionConfig,
-           cond=None):
-    """Euler sampling, fixed steps as a scan. shape = (T, h, w, latent)."""
+           cond=None, init=None):
+    """Euler sampling, fixed steps as a scan. shape = (T, h, w, latent).
+
+    ``init``: optional latent prompt — the sampling trajectory starts at
+    init + sigma_max*noise instead of pure noise (SDEdit-style; the role
+    of the reference's experimental VAE depth prompting,
+    depthcrafter_video.py:131-177)."""
     sigmas = edm_sigmas(cfg)
     z = jax.random.normal(rng, shape, jnp.float32) * sigmas[0]
+    if init is not None:
+        z = z + init
 
     def step(z, i):
         sig = sigmas[i]

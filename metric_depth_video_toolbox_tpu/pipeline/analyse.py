@@ -57,20 +57,39 @@ def detect_cuts_from_tracking(tracking_file, fps=24.0, low=100, high=500,
 
 
 def analyse_depth_movement(depth_video, tracking_file,
-                           transformation_file=None, xfov=50.0,
+                           transformation_file=None, xfov=None, yfov=None,
                            max_depth=100.0, max_frames=-1, output=None,
-                           z_threshold=2.0):
+                           z_threshold=2.0, mask_video=None):
     """Reproject each track into its first frame; tracks whose 2D path
     length z-score exceeds the threshold are 'moving'. Writes a PLY with
-    red = moving, gray = static; returns (ply_path, moving_track_ids)."""
+    red = moving, gray = static; returns (ply_path, moving_track_ids).
+
+    ``mask_video``: white = don't track (reference analyse_depth.py:23):
+    track observations landing on masked pixels are dropped."""
     frames_tr = sidecar.load_tracking(tracking_file)
     dense, ids = sidecar.tracking_to_dense(frames_tr)
     t = dense.shape[0]
+    if xfov is None and yfov is None:
+        xfov = 50.0
+    if mask_video is not None:
+        mv = vio.VideoReader(mask_video, max_frames=max_frames)
+        for fi in range(min(t, mv.frame_count)):
+            m = mv.read_batch(1)
+            if m is None:
+                break
+            gray = m[0][..., 0]
+            xi = np.clip(np.round(dense[fi, :, 0]).astype(int), 0,
+                         gray.shape[1] - 1)
+            yi = np.clip(np.round(dense[fi, :, 1]).astype(int), 0,
+                         gray.shape[0] - 1)
+            dense[fi, :, 2] = np.where(gray[yi, xi] > 127, 0.0,
+                                       dense[fi, :, 2])
+        mv.close()
 
     dv = vio.VideoReader(depth_video, max_frames=max_frames)
     h, w = dv.height, dv.width
-    k = np.asarray(geo.camera_matrix_from_fov(w, h, xfov_deg=xfov),
-                   np.float32)
+    k = np.asarray(geo.camera_matrix_from_fov(w, h, xfov_deg=xfov,
+                                              yfov_deg=yfov), np.float32)
     transforms = (sidecar.load_transformations(transformation_file)
                   if transformation_file else
                   np.tile(np.eye(4, dtype=np.float32), (t, 1, 1)))

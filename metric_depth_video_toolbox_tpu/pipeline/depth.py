@@ -354,9 +354,11 @@ class SingleFrameEngine:
 
 @register_engine("single_frame")
 def run_single_frame(color_video, max_depth=100.0, max_frames=-1,
-                     engine=None, xfov=None, save_xfovs=False, **kw):
+                     engine=None, xfov=None, save_xfovs=False,
+                     target_fps=-1, **kw):
     eng = engine or SingleFrameEngine(max_depth=max_depth, xfov=xfov, **kw)
-    frames, fps = vio.read_video_frames(color_video, max_frames=max_frames)
+    frames, fps = vio.read_video_frames(color_video, max_frames=max_frames,
+                                        target_fps=target_fps)
     depth, est_fovs = eng.infer_video(frames, return_fov=True)
     out = color_video + "_depth.mkv"
     vio.save_depth_video(depth, out, fps, max_depth)
@@ -387,9 +389,10 @@ def run_batch(engine_name, videos_or_txt, **kw):
     eng_kw = {k: v for k, v in kw.items() if k not in _RUN_KEYS}
     if "max_depth" in kw:
         eng_kw["max_depth"] = kw["max_depth"]
-    if engine_name == "single_frame":
+    if engine_name in ("single_frame", "da3"):
         # the engine itself needs the FOV for K-conditioning / focal
-        # re-estimation (variant behaviors)
+        # re-estimation (variant behaviors; DA3 ray conditioning,
+        # reference video_da3.py:87-112)
         for k in ("xfov", "yfov"):
             if kw.get(k) is not None:
                 eng_kw[k] = kw[k]
@@ -465,7 +468,7 @@ class DepthCrafterEngine:
 
     def __init__(self, cfg=None, params=None, window=110, overlap=25,
                  work_hw=(256, 256), rng_seed=0, max_depth=100.0,
-                 vae_cfg=None, **_):
+                 vae_cfg=None, use_depth_prompting=False, **_):
         # **_ tolerates the generic engine kwargs the movie orchestrator
         # passes to every engine type (size/input_size)
         from metric_depth_video_toolbox_tpu.models import diffusion as dif
@@ -475,6 +478,10 @@ class DepthCrafterEngine:
         self.overlap = overlap
         self.work_hw = work_hw
         self.max_depth = max_depth
+        # experimental latent depth prompting (reference
+        # depthcrafter_video.py:131-177): the reference depth rides into
+        # the sampler as an SDEdit-style init latent through the VAE
+        self.use_depth_prompting = use_depth_prompting
         self._params = params
         self._rng = jax.random.PRNGKey(rng_seed)
 
@@ -484,42 +491,54 @@ class DepthCrafterEngine:
             m = jnp.zeros((t,) + self.work_hw)
             self._params = jax.jit(self.model.init)(self._rng, f, m)
 
-    def infer_window(self, frames_u8):
+    def infer_window(self, frames_u8, ref_depth=None):
         t, h, w = frames_u8.shape[:3]
         self._ensure(t)
         wh, ww = self.work_hw
+        prompt = self.use_depth_prompting and ref_depth is not None
 
         # shape-keyed jit cache: a fresh `def` per call would retrace
         # (and re-lower) the whole diffusion program every window
         cache = getattr(self, "_run_cache", None)
         if cache is None:
             cache = self._run_cache = {}
-        key = (t, h, w)
+        key = (t, h, w, prompt)
         if key in cache:
             run = cache[key]
             self._rng, sub = jax.random.split(self._rng)
             return robust_call(run, self._params, sub,
-                               jnp.asarray(frames_u8))
+                               jnp.asarray(frames_u8),
+                               jnp.asarray(ref_depth) if prompt else None)
 
         @jax.jit
-        def run(params, rng, f_u8):
+        def run(params, rng, f_u8, dref):
             f = f_u8.astype(jnp.float32) / 255.0
             fw = jax.image.resize(f, (t, wh, ww, 3), "bilinear")
             cond_lat = self.model.apply(params, fw,
                                         method=self.model.encode)
             mlat = jnp.zeros(cond_lat.shape[:3] + (1,))
             cond = jnp.concatenate([cond_lat, mlat], axis=-1)
+            init = None
+            if dref is not None:
+                # normalized inverse depth -> 3-ch image -> VAE latent
+                inv = 1.0 / jnp.maximum(dref.astype(jnp.float32), 1e-3)
+                inv = inv / jnp.maximum(jnp.max(inv), 1e-6)
+                dimg = jnp.repeat(inv[..., None], 3, axis=-1)
+                dimg = jax.image.resize(dimg, (t, wh, ww, 3), "bilinear")
+                init = self.model.apply(params, dimg,
+                                        method=self.model.encode)
             z = self.dif.sample(
                 lambda p, zz, s, c: self.model.apply(
                     p, zz, s, c, method=self.model.denoise),
-                params, rng, cond_lat.shape, self.cfg, cond)
+                params, rng, cond_lat.shape, self.cfg, cond, init=init)
             out = self.model.apply(params, z, method=self.model.decode)
             disp = out.mean(axis=-1)  # 1-ch relative disparity
             return jax.image.resize(disp, (t, h, w), "bilinear")
 
         cache[key] = run
         self._rng, sub = jax.random.split(self._rng)
-        return robust_call(run, self._params, sub, jnp.asarray(frames_u8))
+        return robust_call(run, self._params, sub, jnp.asarray(frames_u8),
+                           jnp.asarray(ref_depth) if prompt else None)
 
     def infer_video(self, frames_u8, reference_depth):
         t = frames_u8.shape[0]
@@ -528,7 +547,9 @@ class DepthCrafterEngine:
         step = max(self.window - self.overlap, 1)
         while start < t:
             idx = np.clip(np.arange(start, start + self.window), 0, t - 1)
-            d = self.infer_window(frames_u8[idx])
+            d = self.infer_window(frames_u8[idx],
+                                  reference_depth[idx]
+                                  if self.use_depth_prompting else None)
             n_new = min(self.window, t - start)
             disps.append(d[:n_new])
             if start + self.window >= t:
@@ -710,10 +731,18 @@ class MVSEngine:
 
     def __init__(self, size="base", max_depth=100.0, window=7,
                  resize_w=1024, params=None, batch=4, rng_seed=0,
-                 rescale_to_cost_volume=False, data_parallel=True, **_):
+                 rescale_to_cost_volume=False, data_parallel=True,
+                 fast_cost_volume=False, **_):
         from metric_depth_video_toolbox_tpu.models import mvs as mvs_mod
         self.mvs_mod = mvs_mod
         self.cfg = mvs_mod.preset(size, max_depth=max_depth)
+        if fast_cost_volume:
+            # speed knob (reference video_mvsa.py:77,239 batches the
+            # matching encoder): here the cost volume is already fully
+            # batched, so 'fast' halves the plane-sweep hypotheses
+            import dataclasses
+            self.cfg = dataclasses.replace(
+                self.cfg, num_depths=max(8, self.cfg.num_depths // 2))
         self.model = mvs_mod.MVSNet(self.cfg)
         self.max_depth = max_depth
         self.half_w = max(1, int(window) // 2)

@@ -40,3 +40,29 @@ def test_da3_backbone_graft_rejects_wrong_width():
     bad["cls_token"] = np.zeros((1, 1, 999), np.float32)
     with pytest.raises(ValueError, match="backbone shape mismatch"):
         eng.load_backbone({"backbone": bad})
+
+
+def test_da3_known_fov_conditioning():
+    """--xfov/--xfov_file conditioning (reference video_da3.py:87-112):
+    patch-center rays embed into the tokens, the output xfovs sidecar
+    carries the given values verbatim, and the conditioned forward
+    differs from the unconditioned one (the rays actually flow in)."""
+    frames = np.random.default_rng(1).integers(
+        0, 255, (4, 56, 56, 3), np.uint8)
+    base = dict(cfg=da3_mod.DA3_TINY, images_per_batch=4,
+                num_ref_frames=0, overlap=2, resolution=56, rng_seed=0)
+    fovs = [48.0, 52.0, 55.0, 60.0]
+    eng_c = da3_mod.DA3Engine(xfovs=fovs, **base)
+    d_c, _, fov_c = eng_c.infer_video(frames)
+    assert np.allclose(fov_c, fovs)
+    assert np.isfinite(d_c).all()
+
+    eng_u = da3_mod.DA3Engine(**base)
+    d_u, _, fov_u = eng_u.infer_video(frames)
+    # model-estimated fovs are not the given list
+    assert not np.allclose(fov_u, fovs)
+
+    # scalar --xfov variant
+    eng_s = da3_mod.DA3Engine(xfov=50.0, **base)
+    _, _, fov_s = eng_s.infer_video(frames)
+    assert np.allclose(fov_s, 50.0)

@@ -109,14 +109,20 @@ def depthpro_main(argv=None):
 
 
 def videoanythingmetric_main(argv=None):
-    args = _base_parser("Metric-Video-Depth-Anything-class direct metric "
-                        "video depth.").parse_args(argv)
+    p = _base_parser("Metric-Video-Depth-Anything-class direct metric "
+                     "video depth.")
+    p.add_argument("--fp32", action="store_true",
+                   help="full-precision inference (default bf16 on the "
+                        "MXU; reference videoanythingmetric_video.py:23)")
+    args = p.parse_args(argv)
     from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
     outs = dstage.run_batch("vda", args.color_video,
                             max_depth=args.max_depth,
                             max_frames=args.max_frames,
                             size=args.model_size,
-                            input_size=args.input_size)
+                            input_size=args.input_size,
+                            fp32=args.fp32,
+                            target_fps=args.target_fps)
     for o in outs:
         print(f"depth video saved: {o}")
     return outs

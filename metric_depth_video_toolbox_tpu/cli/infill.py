@@ -48,6 +48,11 @@ def build_parser(parser=None):
                    help="denoise steps for the diffusion engines (more "
                         "looks better but is slower; reference "
                         "stereo_crafter_infill.py:281 default 5)")
+    p.add_argument("--apply_edge_blending", action="store_true",
+                   help="blend the downward-facing side of disocclusion "
+                        "edges to reduce halos (always on for the "
+                        "stereocrafter engine; opt-in for m2svid/"
+                        "inspatio_world, reference m2svid_infill.py:470)")
     return p
 
 
@@ -106,11 +111,14 @@ def run(args):
                     shared_engine = infill_diffusion.make_engine(
                         preset, cfg=cfg, params=params, **extra)
                 eng, drv = shared_engine
+                drv_kw = {k: w for k, w in drv.items()
+                          if k in ("mirror_left", "drift_correct",
+                                   "apply_edge_blending")}
+                if args.apply_edge_blending:
+                    drv_kw["apply_edge_blending"] = True
                 out = infill_diffusion.infill_sbs_video_diffusion(
                     v, mask, engine=eng, color_video=args.color_video,
-                    max_frames=args.max_frames,
-                    **{k: w for k, w in drv.items()
-                       if k in ("mirror_left", "drift_correct")})
+                    max_frames=args.max_frames, **drv_kw)
             else:
                 out = infill_video.infill_sbs_video(
                     v, mask, engine=args.infill_engine,

@@ -186,6 +186,7 @@ def infill_sbs_video_diffusion(sbs_video, infill_mask_video, output=None,
                                color_video=None, engine=None,
                                max_frames=-1, chunk=25, overlap=6,
                                mirror_left=True, drift_correct=False,
+                               apply_edge_blending=True,
                                **kw):
     """Chunked diffusion infill over an SBS video. ``drift_correct``
     applies the phase-correlation drift fix of the generated frames
@@ -256,18 +257,21 @@ def infill_sbs_video_diffusion(sbs_video, infill_mask_video, output=None,
         else:
             out_frames[:, :, half:] = result
 
-    # lower-edge halo blend per frame (device batch)
-    @jax.jit
-    def halo(frames_u8, masks_u8):
-        def one(fr, mk):
-            lower = infill_ops.mark_lower_side(mk)
-            lm = im.dilate((lower[..., 2] == 255).astype(jnp.float32),
-                           ksize=5)
-            return infill_ops.blur_under_mask(fr, lm, ksize=7)
-        return jax.vmap(one)(frames_u8, masks_u8)
+    # lower-edge halo blend per frame (device batch); always on for the
+    # stereocrafter engine, flag-gated for m2svid (reference
+    # m2svid_infill.py:470 --apply_edge_blending, default off there)
+    if apply_edge_blending:
+        @jax.jit
+        def halo(frames_u8, masks_u8):
+            def one(fr, mk):
+                lower = infill_ops.mark_lower_side(mk)
+                lm = im.dilate((lower[..., 2] == 255).astype(jnp.float32),
+                               ksize=5)
+                return infill_ops.blur_under_mask(fr, lm, ksize=7)
+            return jax.vmap(one)(frames_u8, masks_u8)
 
-    out_frames = robust_call(halo, jnp.asarray(out_frames),
-                             jnp.asarray(masks_rgb))
+        out_frames = robust_call(halo, jnp.asarray(out_frames),
+                                 jnp.asarray(masks_rgb))
     vio.save_rgb_video(np.asarray(out_frames), output, sv.fps)
     return output
 
@@ -278,15 +282,17 @@ ENGINE_PRESETS = {
     # stereo_crafter_infill.py:220,97-99 — 25/6 chunks at 1024x768
     "stereocrafter": dict(chunk=25, overlap=6, work_hw=(768, 1024),
                           mirror_left=True, drift_correct=False),
-    # m2svid_infill.py:215-219 — 512x512 frames, mono-video conditioning
+    # m2svid_infill.py:215-219 — 512x512 frames, mono-video conditioning;
+    # edge blending is opt-in there (m2svid_infill.py:470 default off)
     "m2svid": dict(chunk=25, overlap=6, work_hw=(512, 512),
                    mirror_left=True, drift_correct=False,
-                   mono_conditioning=True),
+                   mono_conditioning=True, apply_edge_blending=False),
     # inspatio_world_infill.py:36-42 — 225/6 chunks at 480x832, shared
-    # source latents + drift correction
+    # source latents + drift correction; edge blending opt-in (:503)
     "inspatio_world": dict(chunk=225, overlap=6, work_hw=(480, 832),
                            mirror_left=False, drift_correct=True,
-                           mono_conditioning=True),
+                           mono_conditioning=True,
+                           apply_edge_blending=False),
 }
 
 

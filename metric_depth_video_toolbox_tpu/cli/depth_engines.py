@@ -36,7 +36,16 @@ def _base_parser(desc, require_fov=False):
     p.add_argument("--model_size", default="vits")
     p.add_argument("--input_size", default=518, type=int)
     p.add_argument("--checkpoint", type=str)
+    p.add_argument("--quantize", choices=("none", "int8"), default="none",
+                   help="int8 = dynamically quantized backbone matmuls "
+                        "on the MXU's double-rate int8 path (TPU-native "
+                        "speed mode; no separate checkpoint needed)")
     return p
+
+
+def _quant(args):
+    q = getattr(args, "quantize", "none")
+    return None if q in (None, "none") else q
 
 
 def _relocate(outs, output_dir):
@@ -69,7 +78,7 @@ def _run_single_frame(args, save_xfovs, variant="da"):
         max_frames=args.max_frames, size=args.model_size,
         input_size=args.input_size, params=params, xfov=args.xfov,
         yfov=args.yfov, save_xfovs=save_xfovs, variant=variant,
-        target_fps=args.target_fps)
+        target_fps=args.target_fps, quantize=_quant(args))
     outs = _relocate(outs, args.output_dir)
     for o in outs:
         print(f"depth video saved: {o}")
@@ -122,7 +131,8 @@ def videoanythingmetric_main(argv=None):
                             size=args.model_size,
                             input_size=args.input_size,
                             fp32=args.fp32,
-                            target_fps=args.target_fps)
+                            target_fps=args.target_fps,
+                            quantize=_quant(args))
     for o in outs:
         print(f"depth video saved: {o}")
     return outs
@@ -158,7 +168,8 @@ def da3_main(argv=None):
         overlap=args.batch_overlap, num_ref_frames=args.nr_of_ref_frames,
         resolution=args.da3_resolution,
         backbone=args.backbone_checkpoint,
-        xfov=args.xfov, yfov=args.yfov, xfovs=xfovs)
+        xfov=args.xfov, yfov=args.yfov, xfovs=xfovs,
+        quantize=_quant(args))
     for o in outs:
         print(f"depth video saved: {o}")
     return outs

@@ -29,6 +29,10 @@ def build_parser(parser=None):
     p.add_argument("--fp32", action="store_true",
                    help="full float32 inference (default is bfloat16 on "
                         "the MXU)")
+    p.add_argument("--quantize", choices=("none", "int8"), default="none",
+                   help="int8 = dynamically quantized backbone matmuls "
+                        "on the MXU's double-rate int8 path (TPU-native "
+                        "speed mode; no separate checkpoint needed)")
     p.add_argument("--window", type=int, default=None)
     p.add_argument("--checkpoint", type=str,
                    help="converted Flax checkpoint (models.convert)")
@@ -51,7 +55,8 @@ def run(args):
             max_frames=args.max_frames, target_fps=args.target_fps,
             input_size=args.input_size,
             size=args.model_size, window=args.window, params=params,
-            fp32=args.fp32, reference_depth_video=args.depth_video)
+            fp32=args.fp32, reference_depth_video=args.depth_video,
+            quantize=None if args.quantize == "none" else args.quantize)
     for o in outs:
         print(f"depth video saved: {o}")
     return outs

@@ -40,6 +40,12 @@ class ViTConfig:
     # 'xla' = jax.nn.dot_product_attention. 'flash' silently falls back
     # to 'xla' off-TPU (tests/CPU) and for tiny head dims.
     attention_impl: str = "flash"
+    # None = bf16/f32 matmuls; 'int8' = dynamic weight+activation int8
+    # for the block Dense layers (qkv/proj/fc1/fc2 — the FLOP mass),
+    # riding the v5e MXU's double-rate int8 path. The param tree is
+    # unchanged (quantization happens inside the jitted call), so every
+    # checkpoint converter keeps working. See ops/quant.py.
+    quant: str | None = None
 
     @property
     def compute_dtype(self):
@@ -102,6 +108,33 @@ def _flash_attention(q, k, v, n_real=None):
     return out[:, :, :n, :].transpose(0, 2, 1, 3)
 
 
+class QDense(nn.Module):
+    """Drop-in nn.Dense twin computing through ops.quant.int8_dense.
+
+    Same param names/shapes/inits as nn.Dense (kernel f32 (in, out),
+    bias f32 (out,)), so converted checkpoints load unchanged; only the
+    matmul arithmetic differs (int8 x int8 -> int32 on the MXU with
+    per-token activation and per-channel weight scales).
+    """
+
+    features: int
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from metric_depth_video_toolbox_tpu.ops import quant
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return quant.int8_dense(x, kernel, bias, self.compute_dtype)
+
+
+def _dense(cfg, features, name):
+    if cfg.quant == "int8":
+        return QDense(features, cfg.compute_dtype, name=name)
+    return nn.Dense(features, dtype=cfg.compute_dtype, name=name)
+
+
 class Attention(nn.Module):
     cfg: ViTConfig
     n_real: int | None = None  # valid tokens when the seq is pre-padded
@@ -110,7 +143,7 @@ class Attention(nn.Module):
     def __call__(self, x):
         c = self.cfg
         d = c.embed_dim
-        qkv = nn.Dense(3 * d, dtype=c.compute_dtype, name="qkv")(x)
+        qkv = _dense(c, 3 * d, "qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -138,7 +171,7 @@ class Attention(nn.Module):
             else:
                 out = jax.nn.dot_product_attention(q, k, v)
         out = out.reshape(out.shape[:-2] + (d,))
-        return nn.Dense(d, dtype=c.compute_dtype, name="proj")(out)
+        return _dense(c, d, "proj")(out)
 
 
 class Mlp(nn.Module):
@@ -148,14 +181,14 @@ class Mlp(nn.Module):
     def __call__(self, x):
         c = self.cfg
         hidden = int(c.embed_dim * c.mlp_ratio)
-        x = nn.Dense(hidden, dtype=c.compute_dtype, name="fc1")(x)
+        x = _dense(c, hidden, "fc1")(x)
         # DINOv2 uses torch nn.GELU's default = exact erf. In float32
         # (where weight-exactness is verified vs HF torch) compute it
         # exactly; in bf16 production the tanh approximation's ~1.5e-3
         # relative error sits below bf16 rounding (eps 7.8e-3) and erf
         # measured ~15% of total ViT-L inference time on v5e.
         x = nn.gelu(x, approximate=c.dtype == "bfloat16")
-        return nn.Dense(c.embed_dim, dtype=c.compute_dtype, name="fc2")(x)
+        return _dense(c, c.embed_dim, "fc2")(x)
 
 
 class LayerScale(nn.Module):

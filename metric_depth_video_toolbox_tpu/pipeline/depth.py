@@ -64,7 +64,7 @@ class VDAEngine:
     def __init__(self, size="vits", input_size=518, window=None,
                  overlap=None, params=None, anchor_params=None, rng_seed=0,
                  metric_anchor_frames=32, max_depth=100.0, fp32=False,
-                 data_parallel=True):
+                 data_parallel=True, quantize=None):
         import dataclasses
 
         import metric_depth_video_toolbox_tpu.models.dpt as dpt_mod
@@ -76,6 +76,8 @@ class VDAEngine:
         if fp32:  # reference --fp32: full-precision inference
             vit_cfg = dataclasses.replace(vit_cfg, dtype="float32")
             dpt_cfg = dataclasses.replace(dpt_cfg, dtype="float32")
+        if quantize:  # --quantize int8: double-rate MXU path (ops/quant.py)
+            vit_cfg = dataclasses.replace(vit_cfg, quant=quantize)
         self.cfg = vd.VideoDepthConfig(
             vit=vit_cfg, dpt=dpt_cfg,
             # upstream VDA ships 1 transformer block per motion module
@@ -186,7 +188,7 @@ class SingleFrameEngine:
     def __init__(self, size="vits", input_size=518, params=None,
                  max_depth=100.0, estimates_fov=False, rng_seed=0,
                  data_parallel=True, variant="da", xfov=None, yfov=None,
-                 depthpro_cfg=None):
+                 depthpro_cfg=None, quantize=None):
         self.variant = variant
         self.xfov = xfov
         self.yfov = yfov
@@ -215,6 +217,10 @@ class SingleFrameEngine:
                 self.cfg = _dc.replace(self.cfg, k_condition=True)
             if variant in ("depthpro", "moge") and not xfov:
                 self.cfg = _dc.replace(self.cfg, fov_head=True)
+            if quantize:  # int8 backbone matmuls (ops/quant.py)
+                self.cfg = _dc.replace(
+                    self.cfg,
+                    vit=_dc.replace(self.cfg.vit, quant=quantize))
             self.model = da.DepthAnything(self.cfg)
         self.input_size = input_size
         self.max_depth = max_depth
@@ -415,7 +421,9 @@ class DA3PipelineEngine:
     """DA3-class engine wrapper: depth + transformations + xfovs sidecars
     (reference video_da3.py:243-263)."""
 
-    def __init__(self, max_depth=100.0, size=None, input_size=None, **kw):
+    def __init__(self, max_depth=100.0, size=None, input_size=None,
+                 quantize=None, **kw):
+        import dataclasses
         from metric_depth_video_toolbox_tpu.models import da3 as da3_mod
         # generic engine kwargs (movie step2 passes them to every
         # engine): size maps onto the DA3 config preset (production
@@ -425,6 +433,10 @@ class DA3PipelineEngine:
             size = "vitt"
         if size is not None:
             kw.setdefault("cfg", da3_mod.preset(size))
+        if quantize:  # int8 backbone matmuls (ops/quant.py)
+            cfg = kw.get("cfg") or da3_mod.preset("vitl")
+            kw["cfg"] = dataclasses.replace(
+                cfg, vit=dataclasses.replace(cfg.vit, quant=quantize))
         if input_size is not None:
             kw.setdefault("resolution", input_size)
         self.engine = da3_mod.DA3Engine(**kw)

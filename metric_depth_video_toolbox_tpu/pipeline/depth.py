@@ -208,6 +208,11 @@ class SingleFrameEngine:
             self._depthpro_cfg = depthpro_cfg or (
                 dp_mod.DEPTHPRO_TINY if size in ("vitt", "tiny")
                 else dp_mod.DEPTHPRO_L)
+            if quantize:  # int8 backbone matmuls (ops/quant.py)
+                self._depthpro_cfg = _dc.replace(
+                    self._depthpro_cfg,
+                    vit=_dc.replace(self._depthpro_cfg.vit,
+                                    quant=quantize))
             self.cfg = da.preset(size, metric=True, max_depth=max_depth)
             self.model = dp_mod.DepthProNet(self._depthpro_cfg)
             estimates_fov = True

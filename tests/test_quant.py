@@ -78,6 +78,23 @@ def test_vit_quant_same_param_tree_and_close_output():
         assert cos > 0.98, cos
 
 
+def test_depthpro_real_graph_quantized_smoke():
+    """The converted-checkpoint DepthPro path shares vit_mod.Block, so
+    --quantize int8 applies to its patch/image encoders too."""
+    from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
+    from tests.test_weight_exact_depthpro import _tiny_pair
+    _, _, params = _tiny_pair(True)
+    eng = dstage.SingleFrameEngine(size="vitt", params=params,
+                                   variant="depthpro", max_depth=50.0,
+                                   data_parallel=False, quantize="int8")
+    assert eng._depthpro_cfg.vit.quant == "int8"
+    frames = np.random.default_rng(4).integers(
+        0, 255, (1, 128, 128, 3), np.uint8)
+    d, fovs = eng.infer_video(frames, batch=1, return_fov=True)
+    assert d.shape == (1, 128, 128)
+    assert np.all(np.isfinite(d)) and float(d.max()) <= 50.0
+
+
 def test_single_frame_engine_quantized_smoke():
     from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
     eng = dstage.SingleFrameEngine(size="vitt", input_size=28,

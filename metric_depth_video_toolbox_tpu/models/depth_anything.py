@@ -41,6 +41,13 @@ class DepthAnythingConfig:
     # predicts per-image horizontal FOV (reference depthpro_video.py:
     # 154-159 reads focallength_px from the model output)
     fov_head: bool = False
+    # MoGe-class point-map head: the DPT head emits a raw 4-channel map
+    # (affine-invariant xyz point map + mask logit) instead of depth;
+    # focal + z-shift are recovered downstream from the point map
+    # (ops.geometry.recover_focal_shift — the mechanism behind
+    # reference moge_video.py's output['intrinsics']/['depth']/['mask'],
+    # NaN sky included). Requires dpt n_out=4, head_act='none'.
+    point_head: bool = False
 
 
 TINY = DepthAnythingConfig(vit=vit_mod.VIT_TINY, dpt=dpt_mod.DPT_TINY,
@@ -72,6 +79,11 @@ class DepthAnything(nn.Module):
         feats, cls = vit_mod.ViT(c.vit, name="backbone")(images, cond)
         out = dpt_mod.DPTHead(c.dpt, patch_size=c.vit.patch_size,
                               name="head")(feats)
+        if c.point_head:
+            # raw affine point map (z signed; the z-shift that makes it
+            # a camera-space depth is recovered downstream) + mask logit
+            out = out.astype(jnp.float32)
+            return out[..., :3], out[..., 3]
         out = out[..., 0].astype(jnp.float32)
         if c.metric:
             if c.dpt.head_act == "sigmoid":

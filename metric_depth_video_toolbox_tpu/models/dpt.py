@@ -38,9 +38,14 @@ class DPTConfig:
     # in tests/test_weight_exact.py). Default off: half-pixel bilinear
     # fuses better and skips the extra 2x feature map.
     torch_resize: bool = False
-    # final activation of the head: 'relu' (relative DA-V2) or 'sigmoid'
-    # (metric DA-V2: caller multiplies by max_depth).
+    # final activation of the head: 'relu' (relative DA-V2), 'sigmoid'
+    # (metric DA-V2: caller multiplies by max_depth), or 'none' (raw
+    # multi-channel output, e.g. the MoGe-class point-map head).
     head_act: str = "relu"
+    # output channels of the final 1x1 conv: 1 for depth heads, 4 for
+    # the point-map head (xyz + mask logit, reference moge_video.py
+    # consumes output['points']/['mask']/['intrinsics']).
+    n_out: int = 1
 
     @property
     def compute_dtype(self):
@@ -212,7 +217,9 @@ class DPTHead(nn.Module):
             x = nn.Conv(32, (3, 3), dtype=c.compute_dtype,
                         name="head_conv2")(x)
             x = nn.relu(x)
-        x = nn.Conv(1, (1, 1), dtype=jnp.float32, name="head_conv3")(x)
+        x = nn.Conv(c.n_out, (1, 1), dtype=jnp.float32, name="head_conv3")(x)
         if c.head_act == "sigmoid":
             return nn.sigmoid(x)
+        if c.head_act == "none":
+            return x
         return nn.relu(x)

@@ -384,3 +384,99 @@ def estimate_focal_from_points(points_cam, height, width, weights=None):
     fy = jnp.sum(wts * ry * v) / jnp.maximum(
         jnp.sum(wts * ry * ry), 1e-9)
     return fx, fy
+
+
+def normalized_uv(height, width, dtype=jnp.float32):
+    """Pixel-center image coordinates normalized by the half-HEIGHT:
+    v spans [-1, 1] over rows, u spans [-asp, asp] (asp = W/H) over
+    columns. The matching normalized focal f satisfies
+    xfov = 2*atan(asp / f). Shape (H, W, 2)."""
+    asp = width / height
+    u = ((jnp.arange(width, dtype=dtype) + 0.5) / width * 2.0 - 1.0) * asp
+    v = (jnp.arange(height, dtype=dtype) + 0.5) / height * 2.0 - 1.0
+    uu, vv = jnp.meshgrid(u, v)
+    return jnp.stack([uu, vv], axis=-1)
+
+
+def recover_focal_shift(points, weights=None, focal=None,
+                        rounds=3, k=33, eps=1e-6):
+    """Recover (normalized focal, z-shift) from an affine-invariant
+    point map — the MoGe mechanism behind reference moge_video.py's
+    output['intrinsics'] and metric-up-to-scale output['depth']
+    (the upstream model predicts points with the camera-space z known
+    only up to a global shift; inference solves for the shift and,
+    when fov_x is not given, the focal that best reprojects the points
+    onto the pixel grid).
+
+    points:  (H, W, 3) affine point map (x, y right/down, z signed).
+    weights: (H, W) non-negative (e.g. mask probabilities); None = 1.
+    focal:   fixed normalized focal (= asp / tan(xfov/2)) to solve
+             shift-only (reference passes fov_x when --xfov given);
+             None solves both.
+    Returns (focal, shift, rms): scalars; depth = z + shift.
+
+    TPU-native: a fixed-size log-spaced grid over the shift with
+    ``rounds`` zoom-in refinements; per-candidate the optimal focal is
+    closed-form, so the whole solve is a handful of (k, H, W)
+    reductions — no data-dependent control flow, vmap over frames.
+    """
+    h, w = points.shape[:2]
+    uv = normalized_uv(h, w, points.dtype)
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    wts = jnp.ones_like(z) if weights is None else weights
+    wsum = jnp.maximum(jnp.sum(wts), eps)
+
+    big = jnp.asarray(1e30, z.dtype)
+    zmin = jnp.min(jnp.where(wts > 0, z, big))
+    zmax = jnp.max(jnp.where(wts > 0, z, -big))
+    span = jnp.maximum(zmax - zmin, eps)
+
+    def cost_for(shift):
+        # shift: (k,) -> per-candidate weighted reprojection cost
+        zs = z[None] + shift[:, None, None]
+        safe = (wts[None] > 0) & (zs > eps)
+        denom = jnp.where(safe, zs, 1.0)
+        a = jnp.where(safe, x[None] / denom, 0.0)
+        b = jnp.where(safe, y[None] / denom, 0.0)
+        wk = jnp.where(safe, wts[None], 0.0)
+        num = jnp.sum(wk * (a * uv[..., 0] + b * uv[..., 1]), axis=(1, 2))
+        den = jnp.sum(wk * (a * a + b * b), axis=(1, 2))
+        f = (jnp.maximum(num, eps) / jnp.maximum(den, eps)
+             if focal is None else jnp.full_like(num, focal))
+        resid = (wk * ((f[:, None, None] * a - uv[..., 0]) ** 2
+                       + (f[:, None, None] * b - uv[..., 1]) ** 2))
+        # penalize candidates that push pixels behind the camera
+        bad = jnp.sum(jnp.where((wts[None] > 0) & ~safe, wts[None], 0.0),
+                      axis=(1, 2))
+        return jnp.sum(resid, axis=(1, 2)) / wsum + bad / wsum * 1e3, f
+
+    # round 0: log-spaced offsets above -zmin (guarantees z+t > 0)
+    lo = jnp.log(span * 1e-3)
+    hi = jnp.log(span * 10.0)
+    best_t = -zmin + jnp.exp(0.5 * (lo + hi))
+    best_f = jnp.asarray(1.0, z.dtype)
+    best_c = big
+    for _ in range(rounds):
+        grid = jnp.exp(jnp.linspace(lo, hi, k))
+        cand = -zmin + eps + grid
+        c, f = cost_for(cand)
+        i = jnp.argmin(c)
+        best_t = jnp.where(c[i] < best_c, cand[i], best_t)
+        best_f = jnp.where(c[i] < best_c, f[i], best_f)
+        best_c = jnp.minimum(c[i], best_c)
+        # zoom into the winning cell (one grid step either side)
+        step = (hi - lo) / (k - 1)
+        center = lo + step * i.astype(lo.dtype)
+        lo, hi = center - step, center + step
+    return best_f, best_t, jnp.sqrt(best_c)
+
+
+def xfov_from_normalized_focal(focal, height, width):
+    """Inverse of the `normalized_uv` focal convention (degrees)."""
+    asp = width / height
+    return jnp.degrees(2.0 * jnp.arctan2(asp, focal))
+
+
+def normalized_focal_from_xfov(xfov_deg, height, width):
+    asp = width / height
+    return asp / jnp.tan(jnp.radians(xfov_deg) / 2.0)

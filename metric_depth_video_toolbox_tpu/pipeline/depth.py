@@ -173,9 +173,14 @@ class SingleFrameEngine:
                           requires --xfov and passes K into the model)
       variant='unik3d'    per-frame focal re-estimated from the
                           unprojected 3D points (unik3d_video.py:22-101)
-      variant='moge'      NaN/sky -> max_depth (moge_video.py:171),
-                          optional fov_x conditioning, model-estimated
-                          FOV sidecar otherwise
+      variant='moge'      the MoGe mechanism: affine-invariant point-map
+                          head (xyz + mask) with per-frame focal/z-shift
+                          recovery (ops.geometry.recover_focal_shift ==
+                          the upstream infer()'s solve behind
+                          output['intrinsics']/['depth']); masked sky ->
+                          NaN -> max_depth (moge_video.py:164-173);
+                          --xfov fixes the focal (fov_x argument) and
+                          adds camera-ray conditioning
       variant='depthpro'  focal head: the model itself estimates
                           per-frame xfov (depthpro_video.py:154-159)
       variant='da'        plain DA-class metric inference (default)
@@ -220,7 +225,17 @@ class SingleFrameEngine:
             self.cfg = da.preset(size, metric=True, max_depth=max_depth)
             if variant == "unidepth" or (variant == "moge" and xfov):
                 self.cfg = _dc.replace(self.cfg, k_condition=True)
-            if variant in ("depthpro", "moge") and not xfov:
+            if variant == "moge":
+                # MoGe mechanism: affine-invariant point map + mask out
+                # of the DPT head; focal/z-shift recovered per frame by
+                # ops.geometry.recover_focal_shift (the reference's
+                # output['intrinsics']/['depth']/['mask'] contract,
+                # moge_video.py:164-173, incl. NaN sky)
+                self.cfg = _dc.replace(
+                    self.cfg, point_head=True,
+                    dpt=_dc.replace(self.cfg.dpt, n_out=4,
+                                    head_act="none"))
+            if variant == "depthpro" and not xfov:
                 self.cfg = _dc.replace(self.cfg, fov_head=True)
             if quantize:  # int8 backbone matmuls (ops/quant.py)
                 self.cfg = _dc.replace(
@@ -230,7 +245,7 @@ class SingleFrameEngine:
         self.input_size = input_size
         self.max_depth = max_depth
         self.estimates_fov = estimates_fov or self.cfg.fov_head \
-            or variant == "unik3d"
+            or self.cfg.point_head or variant == "unik3d"
         self._params = params
         self._rng = jax.random.PRNGKey(rng_seed)
         self._apply = self.model.apply
@@ -281,6 +296,14 @@ class SingleFrameEngine:
         if cfg.k_condition and self.xfov is not None:
             rays = jnp.asarray(da.patch_center_rays(
                 self.xfov, gh, gw, self.yfov))
+        # fixed normalized focal for shift-only point-map recovery
+        # (computed host-side: jnp math inside the traced step would
+        # stage to a tracer and can't be a static argument)
+        fixed_f = None
+        if cfg.point_head and self.xfov:
+            import math
+            fixed_f = (work_hw[1] / work_hw[0]
+                       / math.tan(math.radians(self.xfov) / 2.0))
 
         @jax.jit
         def step(params, imgs_u8):
@@ -292,13 +315,30 @@ class SingleFrameEngine:
             out = apply_fn(params, x, r) if (cfg.k_condition or
                                              cfg.fov_head) \
                 else apply_fn(params, x)
-            if cfg.fov_head:
+            if cfg.point_head:
+                # MoGe mechanism: recover per-frame focal + z-shift from
+                # the affine point map (fixed focal when --xfov given,
+                # like the reference's fov_x argument); depth = z+shift,
+                # masked (sky) pixels -> NaN like the upstream model
+                pts, mlogit = out
+                fs, ts, _ = jax.vmap(
+                    lambda p, wt: geo.recover_focal_shift(
+                        p, wt, focal=fixed_f))(
+                    pts, jax.nn.sigmoid(mlogit))
+                d = pts[..., 2] + ts[:, None, None]
+                d = jnp.where(mlogit > 0, d, jnp.nan)
+                xf = (jnp.full(fs.shape, self.xfov, jnp.float32)
+                      if self.xfov else
+                      geo.xfov_from_normalized_focal(
+                          fs, work_hw[0], work_hw[1]))
+            elif cfg.fov_head:
                 d, xf = out
             else:
                 d, xf = out, None
             if variant == "moge":
                 # NaN-sky -> max_depth (reference moge_video.py:171)
                 d = jnp.where(jnp.isfinite(d), d, max_depth)
+                d = jnp.clip(d, 0.0, max_depth)
             d = jax.image.resize(d, (d.shape[0], h, w), "bilinear")
             if variant == "unik3d":
                 # focal re-estimation from the unprojected points

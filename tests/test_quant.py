@@ -78,6 +78,28 @@ def test_vit_quant_same_param_tree_and_close_output():
         assert cos > 0.98, cos
 
 
+def test_quantized_dp_sharding_matches_unsharded():
+    """DP-sharded quantized inference matches the unsharded run. The
+    int8 dots accumulate exactly in int32, but the surrounding bf16 ops
+    fuse differently per sharding, so the criterion is the same
+    bf16-depth tolerance the float parallel test uses, plus a tight
+    mean bound (the conftest mesh has 8 virtual devices)."""
+    from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
+    frames = np.random.default_rng(7).integers(
+        0, 255, (8, 28, 28, 3), np.uint8)
+    base = dstage.SingleFrameEngine(size="vitt", input_size=28,
+                                    max_depth=10.0, data_parallel=False,
+                                    quantize="int8")
+    d0 = base.infer_video(frames, batch=8)
+    sharded = dstage.SingleFrameEngine(size="vitt", input_size=28,
+                                       max_depth=10.0, data_parallel=True,
+                                       quantize="int8",
+                                       params=base._params)
+    d1 = sharded.infer_video(frames, batch=8)
+    np.testing.assert_allclose(d0, d1, atol=0.5)
+    assert float(np.abs(d0 - d1).mean()) < 0.02
+
+
 def test_depthpro_real_graph_quantized_smoke():
     """The converted-checkpoint DepthPro path shares vit_mod.Block, so
     --quantize int8 applies to its patch/image encoders too."""

@@ -14,6 +14,9 @@ def build_parser(parser=None):
     p.add_argument("--model_size", type=str, default="vits",
                    choices=["vitt", "vits", "vitb", "vitl", "vitg"])
     p.add_argument("--input_size", type=int, default=518)
+    p.add_argument("--quantize", choices=("none", "int8"), default="none",
+                   help="int8 = quantized backbone matmuls for the "
+                        "depth stage (MXU double-rate integer path)")
     p.add_argument("--infill_engine", type=str, default="basic",
                    choices=["none", "basic", "diffusion"])
     p.add_argument("--xfov", type=float)
@@ -53,7 +56,9 @@ def run(args):
         batch_size=args.batch_size, parallel=args.parallel,
         generate_masks=not args.skip_masks,
         engine_kwargs={"size": args.model_size,
-                       "input_size": args.input_size})
+                       "input_size": args.input_size,
+                       "quantize": (None if args.quantize == "none"
+                                    else args.quantize)})
     if args.no_render:
         print("stopped before rendering (--no_render)")
     else:

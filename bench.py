@@ -147,7 +147,10 @@ def bench_e2e_file_to_file(n_frames=24):
     return n_frames / dt
 
 
-def bench_depth_inference(size="vits", batch=None, hw=(14 * 37, 14 * 66)):
+def bench_depth_inference(size="vits", batch=None, hw=(14 * 37, 14 * 66),
+                          quant=None):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -155,6 +158,9 @@ def bench_depth_inference(size="vits", batch=None, hw=(14 * 37, 14 * 66)):
 
     batch = batch or DEPTH_BATCH
     cfg = da.preset(size, metric=False)
+    if quant:  # --quantize int8 speed mode (ops/quant.py)
+        cfg = dataclasses.replace(
+            cfg, vit=dataclasses.replace(cfg.vit, quant=quant))
     model = da.DepthAnything(cfg)
     x = jnp.asarray(np.random.default_rng(1).uniform(
         0, 1, (batch,) + hw + (3,)).astype(np.float32))
@@ -210,6 +216,11 @@ def main():
     stereo_fps = bench_stereo()  # movie config: edge points + mask ON
     stereo_fps_rand = bench_stereo(scene="random")  # adversarial scene
     depth_fps = bench_depth_inference("vitl")  # DEPTH_BATCH
+    try:  # opt-in int8 speed mode, reported as a detail metric
+        depth_fps_int8 = bench_depth_inference("vitl", quant="int8")
+    except Exception as e:
+        print(f"# int8 depth bench failed: {e}")
+        depth_fps_int8 = float("nan")
     try:
         e2e_fps = bench_e2e_file_to_file()
     except Exception as e:  # never lose the headline to an IO hiccup
@@ -228,6 +239,7 @@ def main():
             "stereo_render_fps_movie_cfg": round(stereo_fps, 3),
             "stereo_render_fps_random_depth": round(stereo_fps_rand, 3),
             "depth_inference_fps_vitl_518": round(depth_fps, 3),
+            "depth_inference_fps_vitl_518_int8": round(depth_fps_int8, 3),
             "e2e_file_to_file_stereo_fps": round(e2e_fps, 3),
             "reference_equiv_numpy_fps": round(ref_fps, 3),
         },

@@ -225,12 +225,15 @@ class SingleFrameEngine:
             self.cfg = da.preset(size, metric=True, max_depth=max_depth)
             if variant == "unidepth" or (variant == "moge" and xfov):
                 self.cfg = _dc.replace(self.cfg, k_condition=True)
-            if variant == "moge":
-                # MoGe mechanism: affine-invariant point map + mask out
-                # of the DPT head; focal/z-shift recovered per frame by
+            if variant in ("moge", "unik3d"):
+                # point-map heads. moge = the MoGe mechanism: affine-
+                # invariant points + mask; focal/z-shift recovered by
                 # ops.geometry.recover_focal_shift (the reference's
                 # output['intrinsics']/['depth']/['mask'] contract,
-                # moge_video.py:164-173, incl. NaN sky)
+                # moge_video.py:164-173, incl. NaN sky). unik3d = direct
+                # metric points; per-frame focal refit from the MODEL's
+                # predicted geometry (unik3d_video.py:22-101) — focal
+                # from the model's own depth would be circular.
                 self.cfg = _dc.replace(
                     self.cfg, point_head=True,
                     dpt=_dc.replace(self.cfg.dpt, n_out=4,
@@ -315,7 +318,7 @@ class SingleFrameEngine:
             out = apply_fn(params, x, r) if (cfg.k_condition or
                                              cfg.fov_head) \
                 else apply_fn(params, x)
-            if cfg.point_head:
+            if cfg.point_head and variant == "moge":
                 # MoGe mechanism: recover per-frame focal + z-shift from
                 # the affine point map (fixed focal when --xfov given,
                 # like the reference's fov_x argument); depth = z+shift,
@@ -331,26 +334,27 @@ class SingleFrameEngine:
                       if self.xfov else
                       geo.xfov_from_normalized_focal(
                           fs, work_hw[0], work_hw[1]))
+                # NaN-sky -> max_depth (reference moge_video.py:171)
+                d = jnp.where(jnp.isfinite(d), d, max_depth)
+                d = jnp.clip(d, 0.0, max_depth)
+            elif cfg.point_head:  # unik3d: direct metric point map
+                # per-frame focal refit from the MODEL's predicted
+                # geometry (unik3d_video.py:22-101) — fitting against
+                # the model's own unprojected depth would be circular
+                pts, mlogit = out
+                wts = jax.nn.sigmoid(mlogit)
+                wh, ww = work_hw
+                fx, _ = jax.vmap(
+                    lambda p, wt: geo.estimate_focal_from_points(
+                        p, wh, ww, weights=wt))(pts, wts)
+                xf = jnp.degrees(2.0 * jnp.arctan2(
+                    ww / 2.0, jnp.abs(fx) + 1e-6))
+                d = jnp.clip(pts[..., 2], 0.0, max_depth)
             elif cfg.fov_head:
                 d, xf = out
             else:
                 d, xf = out, None
-            if variant == "moge":
-                # NaN-sky -> max_depth (reference moge_video.py:171)
-                d = jnp.where(jnp.isfinite(d), d, max_depth)
-                d = jnp.clip(d, 0.0, max_depth)
             d = jax.image.resize(d, (d.shape[0], h, w), "bilinear")
-            if variant == "unik3d":
-                # focal re-estimation from the unprojected points
-                # (unik3d_video.py:22-101): nominal-FOV unproject, then
-                # fit fx/fy back from the point cloud
-                nominal = self.xfov or 60.0
-                k = geo.camera_matrix_from_fov(w, h, nominal)
-                pts = jax.vmap(
-                    lambda dd: geo.unproject_depth(dd, k))(d)
-                fx, _ = jax.vmap(
-                    lambda p: geo.estimate_focal_from_points(p, h, w))(pts)
-                xf = jnp.degrees(2.0 * jnp.arctan2(w / 2.0, fx))
             return d, xf
         return step
 

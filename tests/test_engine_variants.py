@@ -67,9 +67,38 @@ def test_depthpro_estimates_fov(rng):
 
 def test_unik3d_reestimates_focal(rng):
     eng = _tiny("unik3d", xfov=60.0)
+    assert eng.cfg.point_head  # direct metric point-map head
     d, fovs = eng.infer_video(_frames(rng, n=2), batch=2, return_fov=True)
     assert fovs is not None and fovs.shape == (2,)
     assert np.isfinite(fovs).all()
+
+
+def test_unik3d_focal_comes_from_model_points(rng):
+    """The per-frame FOV must be fit from the MODEL's predicted 3D
+    points (reference unik3d_video.py:22-101), not recovered from its
+    own unprojected depth (which would circularly return the nominal
+    FOV): synthetic points for a 75-deg camera must yield ~75 even
+    though the engine was given xfov=60."""
+    import jax.numpy as jnp
+
+    eng = _tiny("unik3d", xfov=60.0)
+    eng.infer_video(_frames(rng), batch=2)  # init params + caches
+    h = w = 28  # input_size=28 -> work_hw == frame size
+    fx = (w / 2.0) / np.tan(np.radians(75.0) / 2.0)
+    z = rng.uniform(3.0, 9.0, (h, w)).astype(np.float32)
+    u = np.arange(w, dtype=np.float32)[None, :] - w / 2.0
+    v = np.arange(h, dtype=np.float32)[:, None] - h / 2.0
+    pts = np.stack([u * z / fx, v * z / fx, z], axis=-1).astype(np.float32)
+
+    def fake_apply(params, x, r=None):
+        b = x.shape[0]
+        return (jnp.broadcast_to(jnp.asarray(pts), (b, h, w, 3)),
+                jnp.full((b, h, w), 5.0))  # all-valid mask logits
+    eng._apply = fake_apply
+    eng._step_cache = {}
+    d, fovs = eng.infer_video(_frames(rng), batch=2, return_fov=True)
+    np.testing.assert_allclose(fovs, 75.0, atol=0.5)
+    np.testing.assert_allclose(d[0], z, atol=1e-3)
 
 
 def test_geometrycrafter_is_distinct_pointmap_engine(tmp_path, rng):

@@ -34,6 +34,17 @@ def build_parser(parser=None):
                         "on the MXU's double-rate int8 path (TPU-native "
                         "speed mode; no separate checkpoint needed)")
     p.add_argument("--window", type=int, default=None)
+    p.add_argument("--rolling_average", type=int, default=0, metavar="N",
+                   help="rolling-average affine->metric alignment: "
+                        "re-fit scale/shift against metric anchors "
+                        "sampled along the whole video and smooth over "
+                        "an N-frame window (the reference docs' default "
+                        "that --no_rolling_average disables; 0 = "
+                        "first-frames fit, the reference code behavior)")
+    p.add_argument("--no_rolling_average", action="store_true",
+                   help="force the first-frames fit (reference "
+                        "docs/USAGE.md flag; this is already the "
+                        "default here)")
     p.add_argument("--checkpoint", type=str,
                    help="converted Flax checkpoint (models.convert)")
     p.add_argument("--profile", type=str, metavar="DIR",
@@ -56,7 +67,9 @@ def run(args):
             input_size=args.input_size,
             size=args.model_size, window=args.window, params=params,
             fp32=args.fp32, reference_depth_video=args.depth_video,
-            quantize=None if args.quantize == "none" else args.quantize)
+            quantize=None if args.quantize == "none" else args.quantize,
+            rolling_average=(0 if args.no_rolling_average
+                             else args.rolling_average))
     for o in outs:
         print(f"depth video saved: {o}")
     return outs

@@ -43,6 +43,41 @@ def scale_and_shift(prediction, target, weights=None):
     return s, o
 
 
+def rolling_scale_shift(disp_anchor, inv_anchor, anchor_idx, n_frames,
+                        window=60):
+    """Per-frame (scale, shift) trajectory from per-anchor closed-form
+    fits — the reference's documented rolling-average affine->metric
+    alignment (docs/USAGE.md `--no_rolling_average` describes the
+    first-60-frames alternative; the rolling mode re-fits continuously
+    so long moving-camera videos don't inherit frame-0's scale error).
+
+    disp_anchor: (A, H, W) model inverse depth at the anchor frames;
+    inv_anchor:  (A, H, W) metric inverse depth at those frames;
+    anchor_idx:  (A,) frame indices (ascending);
+    Returns float32 (s, t) arrays of shape (n_frames,): per-anchor fits,
+    linearly interpolated to every frame, box-smoothed over `window`
+    frames. Host-side numpy (a handful of scalars per anchor).
+    """
+    import numpy as np
+
+    s_a, t_a = jax.vmap(scale_and_shift)(jnp.asarray(disp_anchor),
+                                         jnp.asarray(inv_anchor))
+    s_a = np.asarray(s_a, np.float64)
+    t_a = np.asarray(t_a, np.float64)
+    frames = np.arange(n_frames)
+    s = np.interp(frames, np.asarray(anchor_idx), s_a)
+    t = np.interp(frames, np.asarray(anchor_idx), t_a)
+    k = max(1, int(window))
+    if k > 1:
+        kern = np.ones(k) / k
+        pad = k // 2
+        s = np.convolve(np.pad(s, pad, mode="edge"), kern, "same")[
+            pad:pad + n_frames]
+        t = np.convolve(np.pad(t, pad, mode="edge"), kern, "same")[
+            pad:pad + n_frames]
+    return s.astype(np.float32), t.astype(np.float32)
+
+
 def least_squares_scale(reference, prediction, weights=None):
     """argmin_s sum w (s*prediction - reference)^2 = <w r p> / <w p p>.
 

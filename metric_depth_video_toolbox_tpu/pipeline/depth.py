@@ -64,7 +64,8 @@ class VDAEngine:
     def __init__(self, size="vits", input_size=518, window=None,
                  overlap=None, params=None, anchor_params=None, rng_seed=0,
                  metric_anchor_frames=32, max_depth=100.0, fp32=False,
-                 data_parallel=True, quantize=None):
+                 data_parallel=True, quantize=None, rolling_average=0,
+                 anchor_stride=4):
         import dataclasses
 
         import metric_depth_video_toolbox_tpu.models.dpt as dpt_mod
@@ -91,6 +92,12 @@ class VDAEngine:
         self.input_size = input_size
         self.metric_anchor_frames = metric_anchor_frames
         self.max_depth = max_depth
+        # rolling-average affine->metric alignment (reference
+        # docs/USAGE.md: the default the --no_rolling_average flag
+        # turns off): 0 = first-N-frames fit (current reference code),
+        # >0 = rolling window length in frames
+        self.rolling_average = int(rolling_average or 0)
+        self.anchor_stride = max(1, int(anchor_stride))
         self._params = params
         self._anchor_params = anchor_params
         self._rng = jax.random.PRNGKey(rng_seed)
@@ -125,6 +132,31 @@ class VDAEngine:
             self._apply, self._params, frames_u8,
             work_hw, (h, w), window=self.cfg.window,
             overlap=self.cfg.overlap, mesh=self._mesh)
+
+        if self.rolling_average > 0:
+            # rolling-average alignment: metric anchors sampled along
+            # the WHOLE video, per-anchor closed-form (s, t), linearly
+            # interpolated + box-smoothed per frame (reference
+            # docs/USAGE.md --no_rolling_average semantics)
+            idx = np.arange(0, t, self.anchor_stride)
+            if reference_depth is not None:
+                anchor_depth = np.asarray(reference_depth)[idx]
+            else:
+                chunks = []
+                for i in range(0, len(idx), 16):
+                    chunks.append(robust_call(
+                        da.infer_depth, self._anchor_apply,
+                        self._anchor_params,
+                        jnp.asarray(frames_u8[idx[i:i + 16]]),
+                        (h, w), work_hw))
+                anchor_depth = np.concatenate(chunks, axis=0)
+            s_t, t_t = solvers.rolling_scale_shift(
+                disp[idx], 1.0 / np.maximum(anchor_depth, 1e-3), idx, t,
+                window=self.rolling_average)
+            inv = disp * s_t[:, None, None] + t_t[:, None, None]
+            depth = 1.0 / np.maximum(inv, 1e-6)
+            depth[inv <= 0] = self.max_depth
+            return np.clip(depth, 0.0, self.max_depth).astype(np.float32)
 
         # metric anchor on the first N frames (reference :105-125)
         n_anchor = min(self.metric_anchor_frames, t)

@@ -78,10 +78,12 @@ class StereoConfig:
     # 'rotate' = the reference's exact toe-in (rotation resample pre-pass)
     convergence_mode: str = "shift"
     # Render main surface + edge-anchor layer in ONE fused Pallas pass
-    # (stereo_sweep_warp_dual) instead of a second anchor-only sweep.
-    # Default off: measured SLOWER on dense/random-depth scenes (anchor
-    # cost 9.3 -> 17.5 ms/frame) because the edge stream rides the full
-    # plane set; flip on only if re-measured faster on real content.
+    # (stereo_sweep_warp_dual) instead of a second anchor-only sweep at
+    # num_planes//4. Measured (v5e, 1080p movie cfg, round 3): fused
+    # 50.9 fps vs two-call 49.1 on piecewise-smooth scenes, but 31.1 vs
+    # 43.3 on per-pixel-random depth (the edge stream rides the full
+    # plane set). Default off = the two-call path: ~equal on real
+    # content, 1.4x faster worst-case.
     fused_anchor_sweep: bool = False
 
 
@@ -207,6 +209,34 @@ def render_eye(depth, color, k, render_k, transform, eye_shift_m,
             image = jnp.where(write[..., None], a_color, image)
             if not cfg.green_and_black_infill_mask:
                 a_n = a_extra * 2.0 - 1.0
+                a_n = a_n / (jnp.linalg.norm(a_n, axis=-1,
+                                             keepdims=True) + 1e-8)
+                mask_img = jnp.where(write[..., None], (a_n + 1.0) / 2.0,
+                                     mask_img)
+        elif cfg.warp_method == "sweep":
+            # second anchor-only sweep at num_planes//4 (coarser planes
+            # suffice: anchors only seed infill). This is the fast
+            # non-fused default — the scatter splat below costs
+            # ~500 ms/frame at 1080p (ops/warp_pallas.py:5-8) and must
+            # never run on the sweep path.
+            normals = normals_pre if normals_pre is not None \
+                else geo.normals_from_depth(depth, k)
+            normals_t = jnp.einsum("ij,hwj->hwi", m_eye[:3, :3], normals)
+            edge_depth = jnp.where(res.edge_mask, depth, 0.0)
+            payload = jnp.concatenate(
+                [color, (normals_t + 1.0) / 2.0], axis=-1)
+            eres = rasterize.stereo_sweep_warp(
+                edge_depth, payload, k,
+                m_eye if rotate_conv else
+                geo.translation_matrix(-eye_shift_m, 0.0, 0.0),
+                num_planes=max(cfg.num_planes // 4, 8),
+                remove_edges=False,
+                neutralize_rotation=rotate_conv,
+                conv_inv_z=0.0 if rotate_conv else conv_inv_z)
+            write = eres.mask & hole
+            image = jnp.where(write[..., None], eres.color[..., :3], image)
+            if not cfg.green_and_black_infill_mask:
+                a_n = eres.color[..., 3:] * 2.0 - 1.0
                 a_n = a_n / (jnp.linalg.norm(a_n, axis=-1,
                                              keepdims=True) + 1e-8)
                 mask_img = jnp.where(write[..., None], (a_n + 1.0) / 2.0,

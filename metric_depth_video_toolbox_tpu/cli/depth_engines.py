@@ -38,13 +38,20 @@ def _base_parser(desc, require_fov=False):
     p.add_argument("--checkpoint", type=str)
     p.add_argument("--quantize", choices=("none", "int8"), default="none",
                    help="int8 = dynamically quantized backbone matmuls "
-                        "on the MXU's double-rate int8 path (TPU-native "
-                        "speed mode; no separate checkpoint needed)")
+                        "(memory/bandwidth mode; no separate checkpoint "
+                        "needed). NOT a speed win on the current "
+                        "toolchain: measured ~0.96x bf16 fps on v5e "
+                        "(ops/quant.py)")
     return p
 
 
 def _quant(args):
     q = getattr(args, "quantize", "none")
+    if q == "int8":
+        print("note: --quantize int8 measured ~0.96x bf16 fps on this "
+              "TPU runtime (the XLA int8 dot does not reach the MXU "
+              "double-rate path); it halves matmul operand HBM traffic "
+              "but is not faster. See ops/quant.py.")
     return None if q in (None, "none") else q
 
 

@@ -340,6 +340,24 @@ def step7_concat(scenes, color_video, output=None, compressed=False):
         if r.returncode == 0 and os.path.exists(muxed) \
                 and os.path.getsize(muxed) > 0:
             os.replace(muxed, output)
+    else:
+        print("WARNING: no ffmpeg binary found — the final movie has NO "
+              "AUDIO (the reference muxes the source audio with ffmpeg, "
+              "movie_2_3D.py:752-778). Install ffmpeg and re-run, or mux "
+              f"manually: ffmpeg -i {output} -i {color_video} "
+              "-map 0:v -map 1:a? -c copy out.mkv")
+    if output.endswith(".mkv"):
+        # Matroska StereoMode on the video track — players key off this
+        # to enable side-by-side mode. Written natively (io/mkv.py
+        # remux; no ffmpeg needed) so the tag is guaranteed even where
+        # ffmpeg's -metadata (which only sets a tag string, not the
+        # track StereoMode element) or ffmpeg itself is unavailable.
+        from metric_depth_video_toolbox_tpu.io import mkv as mkv_mod
+        try:
+            mkv_mod.set_stereo_mode(output,
+                                    mkv_mod.STEREO_SBS_LEFT_FIRST)
+        except Exception as e:  # tag is metadata; never lose the movie
+            print(f"WARNING: could not tag StereoMode on {output}: {e}")
     return output
 
 

@@ -305,6 +305,95 @@ def convert_promptda_hf(state_dict, vit_cfg, grid_hw=None):
     return out
 
 
+def convert_da3(state_dict, cfg, grid_hw=None):
+    """Full Depth-Anything-3 checkpoint -> our models.da3.DA3 params
+    (the reference's default engine, video_da3.py:274 loads
+    depth-anything/da3nested-giant-large).
+
+    DA3's published architecture is a plain DINOv2 backbone — its
+    cross-view attention is parameter-free input reshaping (our ViT
+    cross_view_indices), so the backbone converts through the ordinary
+    DINOv2 mapping unchanged — plus a dual-DPT depth-ray head (one DPT
+    decode per branch in the DA-V2 scratch layout):
+
+      backbone.*        DINOv2 keys (patch_embed.proj, cls_token,
+                        pos_embed, blocks.N.attn.qkv/proj, ls1/ls2,
+                        mlp.fc1/fc2, norm)
+      head.depth.*      DPT branch: projects.N, resize_layers.N,
+                        scratch.layerN_rn, scratch.refinenetN,
+                        scratch.output_conv1/2 (1ch depth)
+      head.ray.*        same DPT layout, 6ch ray-map output
+      ray_embed.*       optional known-intrinsics conditioning Linear
+
+    ``cfg`` is a models.da3.DA3Config whose dpt has torch_resize=True,
+    fast_head=False (weight-exact decode order). ``grid_hw`` resamples
+    the position embedding to a new patch grid. Forward equivalence vs
+    a torch mirror of this graph: tests/test_weight_exact_da3.py.
+    """
+    def sub(prefix):
+        return {k[len(prefix):]: v for k, v in state_dict.items()
+                if k.startswith(prefix)}
+
+    bb = convert_dinov2_vit(sub("backbone."), cfg.vit)
+    if grid_hw is not None:
+        n = bb["pos_embed"].shape[1] - 1
+        g0 = int(round(float(np.sqrt(n))))
+        bb["pos_embed"] = interpolate_pos_embed(
+            bb["pos_embed"], (g0, n // g0), grid_hw)
+    p = {"backbone": bb,
+         "head": {"depth": _dpt_head_from(sub("head.depth."), cfg.dpt)}}
+    ray_sd = sub("head.ray.")
+    if ray_sd:
+        p["head"]["ray"] = _dpt_head_from(ray_sd, cfg.dpt)
+    if "ray_embed.weight" in state_dict:
+        p["ray_embed"] = linear(state_dict, "ray_embed")
+    return {"params": p}
+
+
+def groupnorm(sd, prefix):
+    return {"scale": _t(sd[prefix + ".weight"]),
+            "bias": _t(sd[prefix + ".bias"])}
+
+
+def convert_moge(state_dict, cfg):
+    """MoGe point-map checkpoint (reference moge_video.py:13, the
+    Ruicheng/moge-vitl family) -> our models.moge.MoGeNet params.
+
+    Layout (documented in models/moge.py): backbone.* DINOv2 keys;
+    head.projects.{i} summed 1x1 level projections;
+    head.upsample_blocks.{i} = [ConvTranspose2d(in+2,out,2,2),
+    Conv3x3, ResidualConvBlock...]; head.output_block = [Conv3x3(in+2,
+    32), ReLU, Conv1x1(32, 4)]. Forward equivalence vs a torch mirror:
+    tests/test_weight_exact_moge.py.
+    """
+    def sub(prefix):
+        return {k[len(prefix):]: v for k, v in state_dict.items()
+                if k.startswith(prefix)}
+
+    hd = sub("head.")
+    head = {}
+    for i in range(4):
+        head[f"project{i}"] = conv(hd, f"projects.{i}")
+    for i in range(len(cfg.dim_upsample)):
+        ub = f"upsample_blocks.{i}"
+        head[f"upsample{i}"] = conv_transpose(hd, f"{ub}.0")
+        head[f"upconv{i}"] = conv(hd, f"{ub}.1")
+        for j in range(cfg.num_res_blocks):
+            rb = f"{ub}.{2 + j}"
+            head[f"res{i}_{j}"] = {
+                "norm1": groupnorm(hd, rb + ".norm1"),
+                "conv1": conv(hd, rb + ".conv1"),
+                "norm2": groupnorm(hd, rb + ".norm2"),
+                "conv2": conv(hd, rb + ".conv2"),
+            }
+    head["out_conv1"] = conv(hd, "output_block.0")
+    head["out_conv2"] = conv(hd, "output_block.2")
+    return {"params": {
+        "backbone": convert_dinov2_vit(sub("backbone."), cfg.vit),
+        "head": head,
+    }}
+
+
 def convert_da2(state_dict, vit_cfg):
     """Full Depth-Anything-V2 checkpoint -> our DepthAnything params
     ({'params': {'backbone': ..., 'head': ...}}). Use with
@@ -361,6 +450,63 @@ def convert_vda(state_dict, cfg):
         "backbone": convert_dinov2_vit(state_dict, cfg.vit),
         "head": head,
     }}
+
+
+def convert_wan(state_dict, cfg):
+    """Wan2.1-class causal video DiT checkpoint (the layout of
+    InSpatio-World-1.3B.safetensors, reference
+    inspatio_world_infill.py:44-47) -> our models.wan.WanDiT params.
+
+    Torch layout: patch_embedding (Conv3d 1x2x2), text_embedding.{0,2},
+    time_embedding.{0,2}, time_projection.1, blocks.N.{self_attn.q/k/v/o
+    + norm_q/norm_k (RMSNorm), cross_attn.q/k/v/o + norm_q/norm_k,
+    norm3 (affine LN), ffn.0/2, modulation (1,6,D)}, head.{head,
+    modulation (1,2,D)}. The learned prompt-token bank (our stand-in
+    for the reference's fixed umT5-encoded prompt) is not in upstream
+    checkpoints and keeps its init. Forward equivalence vs a torch
+    mirror: tests/test_weight_exact_wan.py.
+    """
+    sd = state_dict
+
+    def attn(prefix):
+        return {
+            "q": linear(sd, prefix + ".q"),
+            "k": linear(sd, prefix + ".k"),
+            "v": linear(sd, prefix + ".v"),
+            "o": linear(sd, prefix + ".o"),
+            "norm_q": {"scale": _t(sd[prefix + ".norm_q.weight"])},
+            "norm_k": {"scale": _t(sd[prefix + ".norm_k.weight"])},
+        }
+
+    w = _t(sd["patch_embedding.weight"])  # (D, in, 1, p, p)
+    p = {
+        "patch_embedding": {
+            "kernel": w.transpose(2, 3, 4, 1, 0),
+            "bias": _t(sd["patch_embedding.bias"])},
+        "text_embedding1": linear(sd, "text_embedding.0"),
+        "text_embedding2": linear(sd, "text_embedding.2"),
+        "time_embedding1": linear(sd, "time_embedding.0"),
+        "time_embedding2": linear(sd, "time_embedding.2"),
+        "time_projection": linear(sd, "time_projection.1"),
+        "head": linear(sd, "head.head"),
+        "head_modulation": _t(sd["head.modulation"]),
+        # stand-in for the reference's fixed umT5 prompt encoding: not
+        # in upstream checkpoints; zeros = deterministic neutral prompt
+        # (callers may pass any encoding via context=)
+        "prompt_tokens": np.zeros(
+            (cfg.n_prompt_tokens, cfg.text_dim), np.float32),
+    }
+    for i in range(cfg.layers):
+        b = f"blocks.{i}"
+        p[f"block{i}"] = {
+            "self_attn": attn(b + ".self_attn"),
+            "cross_attn": attn(b + ".cross_attn"),
+            "norm3": layernorm(sd, b + ".norm3"),
+            "ffn1": linear(sd, b + ".ffn.0"),
+            "ffn2": linear(sd, b + ".ffn.2"),
+            "modulation": _t(sd[b + ".modulation"]),
+        }
+    return {"params": p}
 
 
 def batchnorm(sd, prefix):
@@ -878,6 +1024,15 @@ def convert_torch_file(path, kind, cfg=None):
         return convert_dinov2_vit(sd, cfg)
     if kind == "da2":
         return convert_da2(sd, cfg)
+    if kind == "da3":
+        from metric_depth_video_toolbox_tpu.models import da3
+        return convert_da3(sd, cfg or da3.DA3_L)
+    if kind == "moge":
+        from metric_depth_video_toolbox_tpu.models import moge
+        return convert_moge(sd, cfg or moge.MOGE_L)
+    if kind in ("wan", "inspatio_world"):
+        from metric_depth_video_toolbox_tpu.models import wan
+        return convert_wan(sd, cfg or wan.WAN_1_3B)
     if kind == "da2_hf":
         return convert_da2_hf(sd, cfg)
     if kind == "promptda_hf":
@@ -909,6 +1064,10 @@ WEIGHT_REGISTRY = {
         "video_depth_anything_vits.pth", "video_depth_anything_vitl.pth"]},
     "da_v2_metric": {"kind": "dinov2", "files": [
         "depth_anything_v2_metric_hypersim_vitl.pth"]},
+    "da3": {"kind": "da3", "files": ["da3nested-giant-large"]},
+    "moge": {"kind": "moge", "files": ["moge-vitl"]},
+    "inspatio_world": {"kind": "wan", "files": [
+        "InSpatio-World-1.3B.safetensors"]},
     "raft": {"kind": "raft", "files": ["raft-large.pth"]},
     "stereocrafter": {"kind": "svd_unet", "files": ["stereocrafter"]},
     # DepthCrafter / GeometryCrafter are SVD fine-tunes: same UNet+VAE

@@ -1,21 +1,34 @@
 """DA3-class multi-view depth + pose estimation (Flax).
 
 Fills the role of Depth-Anything-3 (the reference's default engine,
-video_da3.py, default model nested-giant-large — video_da3.py:274): a
-batch of views goes through a shared ViT backbone, a cross-view
-transformer mixes tokens across views (with one learnable POSE TOKEN
-per view), and two heads decode:
+video_da3.py, default model nested-giant-large — video_da3.py:274),
+implementing the published DA3 mechanism:
 
-- DualDPT: a DPT decode with shared per-level reassembly and two fusion
-  branches — metric DEPTH (1ch) and per-pixel RAY directions (3ch, the
-  DA3 depth+ray output parameterization);
-- camera head: each view's pose token -> MLP -> unit quaternion,
-  translation, and focal scale (w2c extrinsics + per-view FOV).
+- **Input-adaptive cross-view self-attention**: a plain DINOv2 ViT where
+  alternating blocks attend over the CONCATENATED tokens of all views in
+  the window instead of per-view. No new parameters — the same qkv/proj
+  weights serve both modes, so the backbone of a real DA3 checkpoint
+  maps through the ordinary DINOv2 converter (models.vit
+  cross_view_indices + view_group).
+- **Dual-DPT depth-ray head**: one DPT decode per branch over the shared
+  backbone features — metric DEPTH (1ch, relu) and a per-pixel RAY map
+  (6ch: world-frame ray origin + direction, the DA3 depth+ray target).
+- **Cameras recovered from the ray map** (not a learned pose head): per
+  view, the camera center is the mean predicted origin, the focal comes
+  from a closed-form least squares of pixel radius against ray angle,
+  and the rotation from a rotation-only Procrustes between canonical
+  camera rays and predicted world rays (``cameras_from_raymap``).
 
-Production default is a VIT_L-class backbone with 4 cross-view layers
-(``DA3_L``; ``preset('vitl')``); the tiny config exists only for tests
-and ``--model_size vitt``. The windowed video driver reproduces the
-reference's batching exactly (video_da3.py:127-241):
+Checkpoint conversion: ``models.convert.convert_da3`` (backbone =
+DINOv2 layout; head.depth / head.ray = DA-V2 DPT scratch layout);
+forward equivalence vs a torch mirror of this graph is proven in
+tests/test_weight_exact_da3.py.
+
+Production default is a VIT_L-class backbone with cross-view attention
+in every odd block (``DA3_L``; ``preset('vitl')``); the tiny config
+exists only for tests and ``--model_size vitt``. The windowed video
+driver reproduces the reference's batching exactly
+(video_da3.py:127-241):
 
   - batches of N frames + a few global reference frames spanning the clip
   - inter-batch depth-scale alignment (least-squares scalar on the shared
@@ -47,21 +60,26 @@ from metric_depth_video_toolbox_tpu.ops import solvers
 from metric_depth_video_toolbox_tpu.utils.host import robust_call, to_host
 
 
+def _cv_vit(base):
+    """DA3 backbone = the plain ViT with cross-view attention in every
+    odd block (input-adaptive: single-view forward is a vanilla DINOv2,
+    so DINOv2-family checkpoints convert unchanged)."""
+    return dataclasses.replace(
+        base, cross_view_indices=tuple(range(1, base.depth, 2)))
+
+
 @dataclasses.dataclass(frozen=True)
 class DA3Config:
-    vit: vit_mod.ViTConfig = vit_mod.VIT_L
+    vit: vit_mod.ViTConfig = _cv_vit(vit_mod.VIT_L)
     dpt: dpt_mod.DPTConfig = dpt_mod.DPTConfig()
-    cross_view_layers: int = 4
     ray_head: bool = True
     max_depth: float = 100.0
 
 
-DA3_TINY = DA3Config(vit=vit_mod.VIT_TINY, dpt=dpt_mod.DPT_TINY,
-                     cross_view_layers=2, ray_head=True)
-DA3_S = DA3Config(vit=vit_mod.VIT_S, dpt=dpt_mod.DPTConfig(),
-                  cross_view_layers=2)
-DA3_L = DA3Config()  # production default: VIT_L + 4 cross-view layers
-DA3_G = DA3Config(vit=vit_mod.VIT_G, cross_view_layers=6)
+DA3_TINY = DA3Config(vit=_cv_vit(vit_mod.VIT_TINY), dpt=dpt_mod.DPT_TINY)
+DA3_S = DA3Config(vit=_cv_vit(vit_mod.VIT_S), dpt=dpt_mod.DPTConfig())
+DA3_L = DA3Config()  # production default: VIT_L, odd blocks cross-view
+DA3_G = DA3Config(vit=_cv_vit(vit_mod.VIT_G))
 
 PRESETS = {"vitt": DA3_TINY, "vits": DA3_S, "vitb": DA3_S,
            "vitl": DA3_L, "vitg": DA3_G}
@@ -71,124 +89,84 @@ def preset(name):
     return PRESETS.get(name, DA3_L)
 
 
-class CrossViewBlock(nn.Module):
-    """Full attention over all tokens of all views (+pose tokens) — the
-    multi-view mixer. Pre-norm transformer block, 4x GELU MLP."""
-    dim: int
-    heads: int
-    dtype: jnp.dtype
-
-    @nn.compact
-    def __call__(self, x):
-        """x: (S, D) flattened multi-view token sequence."""
-        s, d = x.shape
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
-        y = y[None]
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, dtype=self.dtype, name="attn")(y, y)
-        x = x + y[0]
-        z = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
-        z = nn.Dense(d * 4, dtype=self.dtype, name="fc1")(z)
-        z = nn.Dense(d, dtype=self.dtype, name="fc2")(
-            nn.gelu(z, approximate=False))
-        return x + z
-
-
 class DualDPT(nn.Module):
-    """DPT decode with shared reassembly and two fusion branches:
-    depth (1ch, relu) and ray directions (3ch, normalized)."""
+    """The DA3 dual-DPT head: two DPT decodes over the shared backbone
+    features — depth (1ch, relu) and ray map (6ch raw: world-frame ray
+    origin xyz + direction xyz)."""
     cfg: DA3Config
 
     @nn.compact
     def __call__(self, feats):
-        c = self.cfg.dpt
-        depth = dpt_mod.DPTHead(c, patch_size=self.cfg.vit.patch_size,
-                                name="depth_branch")(feats)
+        c = self.cfg
+        depth = dpt_mod.DPTHead(c.dpt, patch_size=c.vit.patch_size,
+                                name="depth")(feats)
         out = {"depth": depth[..., 0]}
-        if self.cfg.ray_head:
-            ray_cfg = dataclasses.replace(c, head_act="relu")
-            # ray branch shares the DPT structure; 3-channel output via
-            # its own head conv stack (run on the same features)
-            rays = RayBranch(ray_cfg, self.cfg.vit.patch_size,
-                             name="ray_branch")(feats)
-            out["rays"] = rays
+        if c.ray_head:
+            ray_cfg = dataclasses.replace(c.dpt, head_act="none", n_out=6)
+            out["rays"] = dpt_mod.DPTHead(
+                ray_cfg, patch_size=c.vit.patch_size, name="ray")(feats)
         return out
 
 
-class RayBranch(nn.Module):
-    """DPT-style decode to per-pixel unit ray directions (3ch)."""
-    cfg: dpt_mod.DPTConfig
-    patch_size: int
+def cameras_from_raymap(rays, img_w, min_focal_frac=0.1):
+    """Closed-form camera recovery from a predicted ray map — the DA3
+    depth-ray parameterization: cameras are not a learned head but are
+    solved from the per-pixel rays.
 
-    @nn.compact
-    def __call__(self, feats):
-        c = self.cfg
-        b, gh, gw, _ = feats[0].shape
-        scales = (4, 2, 1, 0.5)
-        pyr = []
-        for i, (f, ch) in enumerate(zip(feats, c.out_channels)):
-            y = nn.Conv(ch, (1, 1), dtype=c.compute_dtype,
-                        name=f"project{i}")(f)
-            hw = (int(gh * scales[i]), int(gw * scales[i]))
-            y = jax.image.resize(
-                y, (b,) + hw + (y.shape[-1],), "bilinear").astype(y.dtype)
-            y = nn.Conv(c.features, (3, 3), dtype=c.compute_dtype,
-                        use_bias=False, name=f"scratch{i}")(y)
-            pyr.append(y)
-        x = dpt_mod.FeatureFusion(c, name="fusion3")(
-            pyr[3], out_hw=pyr[2].shape[1:3])
-        x = dpt_mod.FeatureFusion(c, name="fusion2")(
-            x, skip=pyr[2], out_hw=pyr[1].shape[1:3])
-        x = dpt_mod.FeatureFusion(c, name="fusion1")(
-            x, skip=pyr[1], out_hw=pyr[0].shape[1:3])
-        x = dpt_mod.FeatureFusion(c, name="fusion0")(x, skip=pyr[0])
-        x = nn.Conv(c.features // 2, (3, 3), dtype=c.compute_dtype,
-                    name="head_conv1")(x)
-        x = nn.relu(x)
-        x = jax.image.resize(
-            x, (b, gh * self.patch_size, gw * self.patch_size,
-                x.shape[-1]), "bilinear").astype(x.dtype)
-        x = nn.Conv(3, (3, 3), dtype=jnp.float32, name="head_conv2")(x)
-        # unit directions, +z hemisphere
-        n = jnp.linalg.norm(x, axis=-1, keepdims=True)
-        x = x / jnp.maximum(n, 1e-6)
-        return x * jnp.sign(x[..., 2:3] + 1e-9)
+    ``rays``: (V, h, w, 6) world-frame ray origins + directions on any
+    regular pixel grid (the caller may pool the full-res map; the solve
+    is grid-resolution independent). ``img_w``: full image width in px,
+    so the recovered focal converts to x-FOV of the actual image.
 
+    Per view (all batched, jit-friendly):
+      center   = mean origin
+      focal    = argmin_f sum w * (r_px - f tan(theta))^2  (closed form),
+                 theta = angle(ray, principal axis), r_px = pixel radius
+      rotation = rotation-only Procrustes canonical-rays -> world rays
 
-def _quat_to_rot(q):
-    """(4,) unit quaternion (w, x, y, z) -> (3, 3) rotation."""
-    w, x, y, z = q[0], q[1], q[2], q[3]
-    return jnp.array([
-        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
-        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
-        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
-    ])
+    Returns (w2c (V,4,4), xfov_deg (V,)).
+    """
+    v, h, w, _ = rays.shape
+    o = rays[..., :3].reshape(v, h * w, 3).astype(jnp.float32)
+    d = rays[..., 3:6].reshape(v, h * w, 3).astype(jnp.float32)
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
+    center = jnp.mean(o, axis=1)  # (V, 3)
 
+    # principal axis estimate (exact when predictions are consistent)
+    z = jnp.mean(d, axis=1)
+    z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-6)
 
-class CameraHead(nn.Module):
-    """Per-view pose token -> w2c extrinsics + FOV (8-dof: unit
-    quaternion, translation, focal)."""
-    dtype: jnp.dtype
+    # pixel offsets about the image center, in FULL-IMAGE pixel units
+    sx = img_w / w
+    uu = (jnp.arange(w, dtype=jnp.float32) - (w - 1) / 2) * sx
+    vv = (jnp.arange(h, dtype=jnp.float32) - (h - 1) / 2) * sx
+    du = jnp.broadcast_to(uu[None], (h, w)).reshape(-1)
+    dv = jnp.broadcast_to(vv[:, None], (h, w)).reshape(-1)
+    r = jnp.sqrt(du * du + dv * dv)  # (h*w,)
 
-    @nn.compact
-    def __call__(self, pose_tokens):
-        """pose_tokens: (V, D) -> w2c (V, 4, 4), xfov_deg (V,)."""
-        v, d = pose_tokens.shape
-        h = nn.Dense(max(256, d), dtype=self.dtype, name="fc1")(
-            pose_tokens)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dense(max(256, d), dtype=self.dtype, name="fc2")(h)
-        h = nn.gelu(h, approximate=False)
-        out = nn.Dense(8, dtype=jnp.float32, name="out")(h)
-        quat = out[:, :4] + jnp.array([1.0, 0, 0, 0])  # identity bias
-        quat = quat / jnp.maximum(
-            jnp.linalg.norm(quat, axis=-1, keepdims=True), 1e-6)
-        tvec = out[:, 4:7]
-        fov = 40.0 + 50.0 * nn.sigmoid(out[:, 7])  # degrees, 40..90
-        rots = jax.vmap(_quat_to_rot)(quat)
-        w2c = jnp.tile(jnp.eye(4, dtype=jnp.float32), (v, 1, 1))
-        w2c = w2c.at[:, :3, :3].set(rots).at[:, :3, 3].set(tvec)
-        return w2c, fov
+    cos = jnp.clip(jnp.einsum("vnc,vc->vn", d, z), -1.0, 1.0)
+    tan = jnp.sqrt(jnp.maximum(1.0 - cos * cos, 0.0)) / jnp.maximum(
+        cos, 1e-3)
+    wgt = r  # outer pixels constrain the focal best
+    f = (jnp.sum(wgt * r[None] * tan, axis=1)
+         / jnp.maximum(jnp.sum(wgt * tan * tan, axis=1), 1e-6))
+    f = jnp.maximum(f, min_focal_frac * img_w)  # guard degenerate maps
+
+    # canonical camera rays at that focal (+z forward, y down, x right)
+    g = jnp.stack([jnp.broadcast_to(du[None], (v, h * w)) / f[:, None],
+                   jnp.broadcast_to(dv[None], (v, h * w)) / f[:, None],
+                   jnp.ones((v, h * w), jnp.float32)], axis=-1)
+    g = g / jnp.linalg.norm(g, axis=-1, keepdims=True)
+    m = solvers.rigid_transform(g, d, zero_centroid=True)  # (V, 4, 4)
+    r_c2w = m[:, :3, :3]
+
+    w2c = jnp.tile(jnp.eye(4, dtype=jnp.float32), (v, 1, 1))
+    r_w2c = jnp.swapaxes(r_c2w, 1, 2)
+    w2c = w2c.at[:, :3, :3].set(r_w2c)
+    w2c = w2c.at[:, :3, 3].set(
+        -jnp.einsum("vij,vj->vi", r_w2c, center))
+    xfov = 2.0 * jnp.degrees(jnp.arctan2(img_w / 2.0, f))
+    return w2c, xfov
 
 
 class DA3(nn.Module):
@@ -197,50 +175,43 @@ class DA3(nn.Module):
     @nn.compact
     def __call__(self, frames, cam_rays=None):
         """frames: (V, H, W, 3) [0,1] -> dict with depth (V, H, W),
-        w2c (V, 4, 4), xfov_deg (V,), rays (V, H, W, 3) when
+        w2c (V, 4, 4), xfov_deg (V,), rays (V, H, W, 6) when
         cfg.ray_head.
 
         ``cam_rays``: optional (V, gh, gw, 3) unit camera-ray directions
         at patch centers — known-intrinsics conditioning (the reference
         passes per-frame K into DA3 inference when --xfov/--xfov_file is
-        given, video_da3.py:100-112)."""
+        given, video_da3.py:100-112). Embedded additively into the patch
+        tokens BEFORE the backbone so the cross-view attention sees it.
+        """
         c = self.cfg
-        feats, cls = vit_mod.ViT(c.vit, name="backbone")(frames)
-        v, gh, gw, d = feats[-1].shape
-        dt = c.vit.compute_dtype
-
+        v = frames.shape[0]
+        cond = None
         if cam_rays is not None:
-            ray_tok = nn.Dense(d, dtype=dt, name="ray_embed")(
-                cam_rays.astype(dt)).reshape(v, gh * gw, d)
-            feats[-1] = (feats[-1].reshape(v, gh * gw, d).astype(dt)
-                         + ray_tok).reshape(v, gh, gw, d)
-
-        # cross-view transformer over the finest-level tokens + one
-        # learnable pose token per view
-        pose_tok = self.param("pose_token", nn.initializers.normal(0.02),
-                              (1, d))
-        view_emb = self.param("view_embed", nn.initializers.normal(0.02),
-                              (64, d))  # supports up to 64 views/window
-        f = feats[-1].reshape(v, gh * gw, d).astype(dt)
-        f = f + view_emb[:v, None].astype(dt)
-        pt = jnp.broadcast_to(pose_tok.astype(dt), (v, d))
-        pt = pt + view_emb[:v].astype(dt)
-        seq = jnp.concatenate([pt[:, None], f], axis=1)  # (V, 1+N, D)
-        seq = seq.reshape(v * (gh * gw + 1), d)
-        for i in range(c.cross_view_layers):
-            seq = CrossViewBlock(d, c.vit.num_heads, dt,
-                                 name=f"crossview{i}")(seq)
-        seq = seq.reshape(v, gh * gw + 1, d)
-        pose_tokens = seq[:, 0]
-        feats[-1] = seq[:, 1:].reshape(v, gh, gw, d)
+            cond = nn.Dense(c.vit.embed_dim, dtype=c.vit.compute_dtype,
+                            name="ray_embed")(
+                cam_rays.astype(c.vit.compute_dtype))
+        feats, _cls = vit_mod.ViT(c.vit, name="backbone")(
+            frames, cond=cond, view_group=v)
 
         heads = DualDPT(c, name="head")(feats)
         depth = jnp.clip(heads["depth"].astype(jnp.float32), 0.0,
                          c.max_depth)
-        w2c, fov = CameraHead(dt, name="camera")(pose_tokens)
-        out = {"depth": depth, "w2c": w2c, "xfov_deg": fov}
+        out = {"depth": depth}
         if c.ray_head:
-            out["rays"] = heads["rays"]
+            rays = heads["rays"].astype(jnp.float32)
+            out["rays"] = rays
+            # solve cameras on the patch-grid pooled map (the solve is
+            # grid-independent; pooling keeps it a few-k-row LS problem)
+            p = c.vit.patch_size
+            gh, gw = rays.shape[1] // p, rays.shape[2] // p
+            pooled = rays.reshape(v, gh, p, gw, p, 6).mean(axis=(2, 4))
+            w2c, fov = cameras_from_raymap(pooled, float(rays.shape[2]))
+        else:
+            w2c = jnp.tile(jnp.eye(4, dtype=jnp.float32), (v, 1, 1))
+            fov = jnp.full((v,), 50.0, jnp.float32)
+        out["w2c"] = w2c
+        out["xfov_deg"] = fov
         return out
 
 

@@ -179,9 +179,10 @@ class DinoTokens(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
         wanted = set(self.hooks)
         raw = {}
+        valid = (jax.lax.broadcasted_iota(
+            jnp.int32, (x.shape[1],), 0) < n_real) if n_pad else None
         for i in range(c.depth):
-            x = vit_mod.Block(c, n_real if n_pad else None,
-                              name=f"block{i}")(x)
+            x = vit_mod.Block(c, name=f"block{i}")(x, valid=valid)
             if i in wanted:
                 raw[i] = x[:, :n_real]
         xn = nn.LayerNorm(dtype=jnp.float32, name="norm")(x[:, :n_real])

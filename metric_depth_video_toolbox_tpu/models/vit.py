@@ -40,6 +40,12 @@ class ViTConfig:
     # 'xla' = jax.nn.dot_product_attention. 'flash' silently falls back
     # to 'xla' off-TPU (tests/CPU) and for tiny head dims.
     attention_impl: str = "flash"
+    # DA3-style input-adaptive cross-view self-attention: in the listed
+    # block indices attention runs over the CONCATENATED tokens of all
+    # views in a group (same qkv/proj weights — parameter-free, so any
+    # DINOv2-family checkpoint loads unchanged). Empty = plain ViT.
+    # The caller opts in per forward via ViT(...)(x, view_group=V).
+    cross_view_indices: Sequence[int] = ()
     # None = bf16/f32 matmuls; 'int8' = dynamic weight+activation int8
     # for the block Dense layers (qkv/proj/fc1/fc2 — the FLOP mass),
     # riding the v5e MXU's double-rate int8 path. The param tree is
@@ -70,7 +76,7 @@ VIT_TINY = ViTConfig(embed_dim=64, depth=4, num_heads=4,
 PRESETS["vitt"] = VIT_TINY
 
 
-def _flash_attention(q, k, v, n_real=None):
+def _flash_attention(q, k, v, valid=None):
     """Pallas TPU flash attention over (B, N, H, HD) bf16 tensors.
 
     Pads N to a 512 multiple and masks the padding with segment ids so
@@ -78,14 +84,16 @@ def _flash_attention(q, k, v, n_real=None):
     round-trips the (N, N) bf16 score tensor through HBM, which measures
     memory-bound at ViT-L token counts on v5e).
 
-    ``n_real``: number of valid tokens when the caller already padded
-    the sequence (the ViT pads ONCE for the whole depth — per-layer
-    pads measured 36 ms/iter of pure data movement at ViT-L/batch 16).
+    ``valid``: (N,) bool marking real tokens when the caller already
+    padded the sequence (the ViT pads ONCE for the whole depth —
+    per-layer pads measured 36 ms/iter of pure data movement at ViT-L/
+    batch 16). Valid tokens share one segment id, pads another, so
+    interleaved pads (e.g. the cross-view concatenation of per-view
+    padded sequences) are masked exactly.
     """
     from jax.experimental.pallas.ops.tpu import flash_attention as fa_mod
 
     b, n, h, hd = q.shape
-    n_real = n if n_real is None else n_real
     np_ = ((n + 511) // 512) * 512
 
     def to_bhnd(t):
@@ -94,7 +102,11 @@ def _flash_attention(q, k, v, n_real=None):
             t = jnp.pad(t, ((0, 0), (0, 0), (0, np_ - n), (0, 0)))
         return t
 
-    seg = (jax.lax.broadcasted_iota(jnp.int32, (b, np_), 1) < n_real)
+    if valid is None:
+        seg = (jax.lax.broadcasted_iota(jnp.int32, (b, np_), 1) < n)
+    else:
+        seg = jnp.broadcast_to(
+            jnp.pad(valid, (0, np_ - n))[None], (b, np_))
     seg = seg.astype(jnp.int32)
     sids = fa_mod.SegmentIds(q=seg, kv=seg)
     # one q block per (batch, head) measures fastest at ViT-L token
@@ -137,10 +149,11 @@ def _dense(cfg, features, name):
 
 class Attention(nn.Module):
     cfg: ViTConfig
-    n_real: int | None = None  # valid tokens when the seq is pre-padded
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid=None):
+        """``valid``: optional (N,) bool marking real tokens when the
+        sequence is pre-padded (shared across the batch)."""
         c = self.cfg
         d = c.embed_dim
         qkv = _dense(c, 3 * d, "qkv")(x)
@@ -157,17 +170,16 @@ class Attention(nn.Module):
                      and d // c.num_heads >= 64
                      and c.dtype == "bfloat16")
         if use_flash:
-            out = _flash_attention(q, k, v, n_real=self.n_real)
+            out = _flash_attention(q, k, v, valid=valid)
         else:
             # fused XLA attention: still avoids the f32 score tensor;
-            # mask pre-pad tokens out of the softmax when present
-            if self.n_real is not None and self.n_real < q.shape[1]:
-                npad = q.shape[1]
-                ok = jax.lax.broadcasted_iota(
-                    jnp.int32, (npad, npad), 1) < self.n_real
-                bias = jnp.where(ok, 0.0, -1e9).astype(q.dtype)
+            # mask pad KEYS out of the softmax when present (pad query
+            # rows produce garbage that is positionally sliced off later
+            # and never mixes back into valid tokens)
+            if valid is not None:
+                bias = jnp.where(valid, 0.0, -1e9).astype(q.dtype)
                 out = jax.nn.dot_product_attention(
-                    q, k, v, bias=bias[None, None])
+                    q, k, v, bias=bias[None, None, None])
             else:
                 out = jax.nn.dot_product_attention(q, k, v)
         out = out.reshape(out.shape[:-2] + (d,))
@@ -204,13 +216,12 @@ class LayerScale(nn.Module):
 
 class Block(nn.Module):
     cfg: ViTConfig
-    n_real: int | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid=None):
         c = self.cfg
         y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
-        y = Attention(c, self.n_real, name="attn")(y)
+        y = Attention(c, name="attn")(y, valid=valid)
         x = x + LayerScale(c.embed_dim, c.layerscale_init, name="ls1")(y)
         y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
         y = Mlp(c, name="mlp")(y)
@@ -225,10 +236,15 @@ class ViT(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, images, cond=None):
+    def __call__(self, images, cond=None, view_group=None):
         """images: (B, H, W, 3) float in [0, 1]; H, W % patch_size == 0.
         ``cond``: optional (B, gh, gw, D) additive patch-token
-        conditioning (e.g. UniDepth-style camera-ray embeddings)."""
+        conditioning (e.g. UniDepth-style camera-ray embeddings).
+        ``view_group``: DA3-style multi-view mode — B is a stack of
+        view groups of this size, and blocks listed in
+        cfg.cross_view_indices attend over the concatenated tokens of
+        each whole group (same weights; the cross-view mixing is purely
+        an input reshape, so single-view checkpoints load unchanged)."""
         c = self.cfg
         b, h, w, _ = images.shape
         p = c.patch_size
@@ -270,8 +286,21 @@ class ViT(nn.Module):
         final_norm = nn.LayerNorm(dtype=jnp.float32, name="norm")
         wanted = set(c.out_indices)
         stored = {}
+        n_tok = x.shape[1]
+        valid = (jax.lax.broadcasted_iota(jnp.int32, (n_tok,), 0) < n_real
+                 if n_pad else None)
+        vg = view_group if (view_group and view_group > 1) else None
+        d_ = c.embed_dim
         for i in range(c.depth):
-            x = Block(c, n_real if n_pad else None, name=f"block{i}")(x)
+            blk = Block(c, name=f"block{i}")
+            if vg and i in c.cross_view_indices:
+                # cross-view: concatenate the group's sequences (pads
+                # stay interleaved; segment ids mask them exactly)
+                xg = x.reshape(b // vg, vg * n_tok, d_)
+                vgm = (jnp.tile(valid, vg) if valid is not None else None)
+                x = blk(xg, valid=vgm).reshape(b, n_tok, d_)
+            else:
+                x = blk(x, valid=valid)
             if i in wanted:
                 stored[i] = final_norm(x[:, :n_real])
         xn = final_norm(x[:, :n_real])

@@ -1,0 +1,499 @@
+"""Wan-class causal video diffusion transformer (Flax) — the
+InSpatio-World infill engine family.
+
+The reference's flagship infill (inspatio_world_infill.py:303-443) runs
+InSpatio-World-1.3B: a Wan2.1-1.3B causal video DiT driven by a
+CausalInferencePipeline — block-causal few-step generation over Wan-VAE
+latents (16ch, spatial /8, temporal /4: T_lat = (T+3)//4), conditioned
+on three latent videos: the SOURCE (ref, shared between both eyes,
+:425-443), the warped RENDER with holes blacked (:431), and the MASK
+(:316). Chunks are 225 frames so T_lat = 57 splits into 19 causal
+blocks of num_frame_per_block = 3 (:36-42, _pad_to_valid_T :225-236).
+
+TPU-native redesign:
+
+- **Block-causal generation without a KV cache**: each denoise step
+  runs the FULL static-shape latent sequence with PER-FRAME timesteps
+  (finished blocks at t=0/clean, the active block at the current step's
+  t) and a block-causal attention mask. This is mathematically the
+  cached computation (queries of the active block see exactly the
+  clean context keys) expressed as a fixed XLA program: no dynamic
+  shapes, no cache plumbing, scan over (block, step). The recompute
+  overhead is bounded by n_steps x, and the whole sampler jits once.
+- **Conditioning by channel concat**: [x_t(16) | render(16) | ref(16) |
+  mask(4)] -> 3D patch embedding. The mask's 4 channels carry the 4
+  pixel frames each latent frame covers (max-pooled 8x8 spatially) so
+  temporal mask detail survives VAE-rate compression.
+- **Text context**: the reference conditions on ONE fixed prompt
+  ("The image shows a scene from a video", :33) encoded by umT5. The
+  umT5 tower is dead weight for that use; we keep the cross-attention
+  and its converted projections, and feed a learned prompt-token bank
+  (`prompt_tokens`) in place of the fixed encoding — callers may pass
+  any (n, text_dim) encoding via ``context`` to override.
+- Flow matching (x_t = (1-t) x0 + t noise, model predicts the velocity
+  v = noise - x0), Euler steps over a few distilled timesteps — the
+  causal student regime the reference pipeline runs.
+
+Checkpoint conversion: ``models.convert.convert_wan`` maps the Wan2.1
+DiT layout (patch_embedding, text_embedding.{0,2},
+time_embedding.{0,2}, time_projection.1, blocks.N.{self_attn.q/k/v/o +
+norm_q/norm_k, cross_attn.q/k/v/o + norm_q/norm_k, norm3, ffn.0/2,
+modulation}, head.{head, modulation}) — the layout of the
+InSpatio-World-1.3B.safetensors the reference loads (:44-47). Forward
+equivalence vs a torch mirror: tests/test_weight_exact_wan.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class WanVAEConfig:
+    ch: int = 96
+    z_ch: int = 16
+    dtype: str = "bfloat16"
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class WanConfig:
+    dim: int = 1536
+    ffn_dim: int = 8960
+    layers: int = 30
+    heads: int = 12
+    z_ch: int = 16
+    cond_ch: int = 16 + 16 + 4  # render + ref + mask latents
+    text_dim: int = 4096
+    n_prompt_tokens: int = 16
+    patch_hw: int = 2  # 3D patch (1, 2, 2)
+    block_frames: int = 3  # num_frame_per_block (reference :38)
+    # distilled few-step schedule (flow-matching times, 1 = pure noise)
+    denoise_steps: Sequence[float] = (1.0, 0.75, 0.5, 0.25)
+    freq_dim: int = 256  # sinusoidal timestep embedding width
+    dtype: str = "bfloat16"
+    vae: WanVAEConfig = WanVAEConfig()
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+WAN_1_3B = WanConfig()
+WAN_TINY = WanConfig(dim=48, ffn_dim=96, layers=2, heads=4, text_dim=32,
+                     n_prompt_tokens=4, freq_dim=32, dtype="float32",
+                     vae=WanVAEConfig(ch=8, dtype="float32"))
+
+
+# --------------------------------------------------------------------------
+# causal 3D VAE (Wan-rate compression: temporal /4 causal, spatial /8)
+# --------------------------------------------------------------------------
+
+
+class FrameGroupNorm(nn.Module):
+    """GroupNorm with PER-FRAME statistics: plain GroupNorm over a
+    (B, T, H, W, C) video reduces across time, which would leak future
+    frames into past latents and break the causal contract the block
+    scheduler relies on."""
+    groups: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, h, w, c = x.shape
+        y = nn.GroupNorm(num_groups=self.groups, dtype=jnp.float32,
+                         name="gn")(x.reshape(b * t, h, w, c))
+        return y.reshape(b, t, h, w, c).astype(x.dtype)
+
+
+def _causal_conv(x, ch, kt, k, stride_t, stride_hw, dtype, name):
+    """Conv3d over (B, T, H, W, C) with CAUSAL temporal padding (front
+    pad kt-1: output frame t sees only inputs <= t) and SAME spatial."""
+    ph = k // 2
+    return nn.Conv(
+        ch, (kt, k, k), strides=(stride_t, stride_hw, stride_hw),
+        padding=((kt - 1, 0), (ph, ph), (ph, ph)), dtype=dtype,
+        name=name)(x)
+
+
+class VAEResBlock3D(nn.Module):
+    ch: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        y = FrameGroupNorm(min(8, self.ch), name="norm1")(x)
+        y = _causal_conv(nn.silu(y), self.ch, 3, 3, 1, 1, self.dtype,
+                         "conv1")
+        y = FrameGroupNorm(min(8, self.ch), name="norm2")(y)
+        y = _causal_conv(nn.silu(y), self.ch, 3, 3, 1, 1, self.dtype,
+                         "conv2")
+        if x.shape[-1] != self.ch:
+            x = nn.Conv(self.ch, (1, 1, 1), dtype=self.dtype,
+                        name="skip")(x)
+        return x + y
+
+
+class WanVAEEncoder(nn.Module):
+    """(B, T, H, W, 3) [-1,1], T = 4k-3 -> (B, k, H/8, W/8, z_ch).
+
+    Two causal temporal stride-2 convs (kernel 3, front-pad 2) give
+    exactly (T+3)//4 latent frames for T = 4k-3 — the Wan VAE frame
+    contract the reference chunking is built around
+    (inspatio_world_infill.py:221-236)."""
+    cfg: WanVAEConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c, dt = self.cfg.ch, self.cfg.compute_dtype
+        x = _causal_conv(x.astype(dt), c, 3, 3, 1, 1, dt, "stem")
+        x = VAEResBlock3D(c, dt, name="res0")(x)
+        x = _causal_conv(x, c * 2, 3, 3, 1, 2, dt, "down0")  # (1,2,2)
+        x = VAEResBlock3D(c * 2, dt, name="res1")(x)
+        x = _causal_conv(x, c * 4, 3, 3, 2, 2, dt, "down1")  # (2,2,2)
+        x = VAEResBlock3D(c * 4, dt, name="res2")(x)
+        x = _causal_conv(x, c * 4, 3, 3, 2, 2, dt, "down2")  # (2,2,2)
+        x = VAEResBlock3D(c * 4, dt, name="res3")(x)
+        x = FrameGroupNorm(8, name="norm_out")(x)
+        return nn.Conv(self.cfg.z_ch, (1, 1, 1), dtype=jnp.float32,
+                       name="head")(nn.silu(x))
+
+
+class WanVAEDecoder(nn.Module):
+    """(B, k, h, w, z_ch) -> (B, 4k-3, 8h, 8w, 3) in [-1,1]."""
+    cfg: WanVAEConfig
+
+    @nn.compact
+    def __call__(self, z):
+        c, dt = self.cfg.ch, self.cfg.compute_dtype
+        x = nn.Conv(c * 4, (1, 1, 1), dtype=dt, name="stem")(z.astype(dt))
+        x = VAEResBlock3D(c * 4, dt, name="res0")(x)
+
+        def up(t, hw):
+            def f(y):
+                b, tt, h, w, ch = y.shape
+                y = jnp.repeat(y, t, axis=1) if t > 1 else y
+                y = jax.image.resize(
+                    y, (b, y.shape[1], h * hw, w * hw, ch),
+                    "nearest").astype(y.dtype)
+                return y
+            return f
+
+        x = up(2, 2)(x)
+        x = _causal_conv(x, c * 4, 3, 3, 1, 1, dt, "upconv0")
+        x = VAEResBlock3D(c * 2, dt, name="res1")(x)
+        x = up(2, 2)(x)
+        x = _causal_conv(x, c * 2, 3, 3, 1, 1, dt, "upconv1")
+        x = VAEResBlock3D(c, dt, name="res2")(x)
+        x = up(1, 2)(x)
+        x = _causal_conv(x, c, 3, 3, 1, 1, dt, "upconv2")
+        x = VAEResBlock3D(c, dt, name="res3")(x)
+        x = FrameGroupNorm(min(8, c), name="norm_out")(x)
+        x = nn.Conv(3, (1, 1, 1), dtype=jnp.float32,
+                    name="head")(nn.silu(x))
+        # first latent frame contributes ONE pixel frame (causal 4x):
+        # 4k upsampled frames -> trim the 3 lead-in frames
+        return jnp.tanh(x[:, 3:])
+
+
+def latent_frames(t):
+    """Pixel frames -> Wan-VAE latent frames (reference :220-223)."""
+    return (t + 3) // 4
+
+
+def pad_to_valid_t(t, block_frames=3):
+    """Smallest T' >= t with latent_frames(T') divisible by the causal
+    block size AND T' = 4k-3 (lossless decode) — reference :225-236."""
+    cand = -(-latent_frames(t) // block_frames) * block_frames
+    while cand * 4 - 3 < t:
+        cand += block_frames
+    return cand * 4 - 3
+
+
+# --------------------------------------------------------------------------
+# causal DiT
+# --------------------------------------------------------------------------
+
+
+class RMSNorm(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        y = x.astype(jnp.float32)
+        y = y * jax.lax.rsqrt(
+            jnp.mean(y * y, axis=-1, keepdims=True) + 1e-5)
+        return (y * scale).astype(x.dtype)
+
+
+def _rope_freqs(dim, pos, theta=10000.0):
+    """(len(pos), dim/2) complex rotations for RoPE."""
+    half = dim // 2
+    freqs = 1.0 / theta ** (np.arange(half, dtype=np.float64) / half)
+    ang = np.asarray(pos, np.float64)[:, None] * freqs[None]
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def rope_3d(hd, t, h, w):
+    """Per-token (T*H*W, hd/2) cos/sin for Wan's 3D RoPE: the head dim
+    splits into temporal / height / width sections (t gets the
+    remainder: c_t = hd/2 - 2*(hd/6) complex pairs)."""
+    half = hd // 2
+    c_h = half // 3
+    c_w = half // 3
+    c_t = half - c_h - c_w
+    ct, st = _rope_freqs(2 * c_t, np.arange(t))
+    ch_, sh = _rope_freqs(2 * c_h, np.arange(h))
+    cw, sw = _rope_freqs(2 * c_w, np.arange(w))
+    cos = np.concatenate([
+        np.broadcast_to(ct[:, None, None], (t, h, w, c_t)),
+        np.broadcast_to(ch_[None, :, None], (t, h, w, c_h)),
+        np.broadcast_to(cw[None, None, :], (t, h, w, c_w))], axis=-1)
+    sin = np.concatenate([
+        np.broadcast_to(st[:, None, None], (t, h, w, c_t)),
+        np.broadcast_to(sh[None, :, None], (t, h, w, c_h)),
+        np.broadcast_to(sw[None, None, :], (t, h, w, c_w))], axis=-1)
+    return (jnp.asarray(cos.reshape(t * h * w, half)),
+            jnp.asarray(sin.reshape(t * h * w, half)))
+
+
+def _apply_rope(x, cos, sin):
+    """x: (B, N, H, hd); rotate interleaved pairs (torch view_as_complex
+    convention: pairs are the LAST axis of a (.., hd/2, 2) view)."""
+    xr = x.reshape(x.shape[:-1] + (-1, 2))
+    x0, x1 = xr[..., 0], xr[..., 1]
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    y0 = x0 * c - x1 * s
+    y1 = x0 * s + x1 * c
+    return jnp.stack([y0, y1], axis=-1).reshape(x.shape)
+
+
+class WanSelfAttention(nn.Module):
+    cfg: WanConfig
+
+    @nn.compact
+    def __call__(self, x, rope, mask):
+        c = self.cfg
+        hd = c.dim // c.heads
+        dt = c.compute_dtype
+
+        def heads(t):
+            return t.reshape(t.shape[0], t.shape[1], c.heads, hd)
+        q = RMSNorm(hd, name="norm_q")(heads(
+            nn.Dense(c.dim, dtype=dt, name="q")(x)))
+        k = RMSNorm(hd, name="norm_k")(heads(
+            nn.Dense(c.dim, dtype=dt, name="k")(x)))
+        v = heads(nn.Dense(c.dim, dtype=dt, name="v")(x))
+        q = _apply_rope(q, *rope)
+        k = _apply_rope(k, *rope)
+        out = jax.nn.dot_product_attention(
+            q.astype(dt), k.astype(dt), v.astype(dt),
+            bias=mask[None, None])
+        out = out.reshape(x.shape[0], x.shape[1], c.dim)
+        return nn.Dense(c.dim, dtype=dt, name="o")(out)
+
+
+class WanCrossAttention(nn.Module):
+    cfg: WanConfig
+
+    @nn.compact
+    def __call__(self, x, ctx):
+        c = self.cfg
+        hd = c.dim // c.heads
+        dt = c.compute_dtype
+
+        def heads(t):
+            return t.reshape(t.shape[0], t.shape[1], c.heads, hd)
+        q = RMSNorm(hd, name="norm_q")(heads(
+            nn.Dense(c.dim, dtype=dt, name="q")(x)))
+        k = RMSNorm(hd, name="norm_k")(heads(
+            nn.Dense(c.dim, dtype=dt, name="k")(ctx)))
+        v = heads(nn.Dense(c.dim, dtype=dt, name="v")(ctx))
+        out = jax.nn.dot_product_attention(
+            q.astype(dt), k.astype(dt), v.astype(dt))
+        out = out.reshape(x.shape[0], x.shape[1], c.dim)
+        return nn.Dense(c.dim, dtype=dt, name="o")(out)
+
+
+def _ln_noaffine(x):
+    y = x.astype(jnp.float32)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
+    return ((y - mu) * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype)
+
+
+class WanBlock(nn.Module):
+    cfg: WanConfig
+
+    @nn.compact
+    def __call__(self, x, e, ctx, rope, mask):
+        """x: (B, N, D); e: (B, T, 6, D) per-frame modulation (already
+        time_projection output); tokens are frame-major so e broadcasts
+        over each frame's spatial tokens; ctx: (B, n_ctx, D)."""
+        c = self.cfg
+        mod = self.param("modulation", nn.initializers.normal(0.02),
+                         (1, 6, c.dim))
+        b, t = e.shape[0], e.shape[1]
+        n_sp = x.shape[1] // t
+        m = (mod[:, None].astype(jnp.float32) + e.astype(jnp.float32))
+        m = jnp.repeat(m, n_sp, axis=1)  # (B, N, 6, D)
+        sh1, sc1, g1, sh2, sc2, g2 = [m[:, :, i] for i in range(6)]
+
+        dt = c.compute_dtype
+        y = (_ln_noaffine(x).astype(jnp.float32) * (1 + sc1) + sh1)
+        y = WanSelfAttention(c, name="self_attn")(y.astype(dt), rope,
+                                                  mask)
+        x = x + (g1 * y.astype(jnp.float32)).astype(x.dtype)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                         name="norm3")(x)
+        x = x + WanCrossAttention(c, name="cross_attn")(y.astype(dt),
+                                                        ctx)
+        y = (_ln_noaffine(x).astype(jnp.float32) * (1 + sc2) + sh2)
+        y = nn.Dense(c.ffn_dim, dtype=dt, name="ffn1")(y.astype(dt))
+        y = nn.gelu(y, approximate=True)
+        y = nn.Dense(c.dim, dtype=dt, name="ffn2")(y)
+        return x + (g2 * y.astype(jnp.float32)).astype(x.dtype)
+
+
+def timestep_embedding(t, dim, max_period=10000.0):
+    """(B, T) flow times in [0,1] (scaled x1000 like Wan's discrete
+    range) -> (B, T, dim) sinusoidal."""
+    half = dim // 2
+    freqs = jnp.exp(-np.log(max_period)
+                    * jnp.arange(half, dtype=jnp.float32) / half)
+    ang = t[..., None].astype(jnp.float32) * 1000.0 * freqs
+    return jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+
+
+class WanDiT(nn.Module):
+    """Block-causal conditional video DiT.
+
+    __call__(x, t_frames, cond, context=None):
+      x:        (B, T, h, w, z_ch) noisy latents
+      t_frames: (B, T) PER-FRAME flow times (0 = clean) — the causal
+                student regime: context frames 0, active block > 0
+      cond:     (B, T, h, w, cond_ch) [render | ref | mask] latents
+      context:  optional (B, n, text_dim) prompt encoding; defaults to
+                the learned prompt-token bank
+    Returns velocity prediction (B, T, h, w, z_ch).
+    """
+    cfg: WanConfig
+
+    @nn.compact
+    def __call__(self, x, t_frames, cond, context=None):
+        c = self.cfg
+        dt = c.compute_dtype
+        b, t, h, w, _ = x.shape
+        p = c.patch_hw
+        hp, wp = h // p, w // p
+
+        inp = jnp.concatenate([x, cond], axis=-1).astype(dt)
+        tok = nn.Conv(c.dim, (1, p, p), strides=(1, p, p), dtype=dt,
+                      name="patch_embedding")(inp)
+        tok = tok.reshape(b, t * hp * wp, c.dim)  # frame-major
+
+        bank = self.param(
+            "prompt_tokens", nn.initializers.normal(0.02),
+            (c.n_prompt_tokens, c.text_dim))
+        if context is None:
+            context = jnp.broadcast_to(bank[None], (b,) + bank.shape)
+        ctx = nn.Dense(c.dim, dtype=dt, name="text_embedding1")(
+            context.astype(dt))
+        ctx = nn.Dense(c.dim, dtype=dt,
+                       name="text_embedding2")(nn.gelu(
+                           ctx, approximate=True))  # Wan tanh-GELU
+
+        te = timestep_embedding(t_frames, c.freq_dim)  # (B, T, freq)
+        te = nn.Dense(c.dim, dtype=jnp.float32,
+                      name="time_embedding1")(te)
+        te = nn.Dense(c.dim, dtype=jnp.float32,
+                      name="time_embedding2")(nn.silu(te))
+        e6 = nn.Dense(6 * c.dim, dtype=jnp.float32,
+                      name="time_projection")(nn.silu(te))
+        e6 = e6.reshape(b, t, 6, c.dim)
+
+        rope = rope_3d(c.dim // c.heads, t, hp, wp)
+        # block-causal attention: token i (frame fi) sees token j iff
+        # block(fj) <= block(fi)
+        fb = jnp.arange(t) // c.block_frames
+        fb = jnp.repeat(fb, hp * wp)
+        mask = jnp.where(fb[None, :] <= fb[:, None], 0.0, -1e9
+                         ).astype(dt)
+
+        for i in range(c.layers):
+            tok = WanBlock(c, name=f"block{i}")(tok, e6, ctx, rope, mask)
+
+        # output head: modulated norm + linear to patch pixels
+        hm = self.param("head_modulation", nn.initializers.normal(0.02),
+                        (1, 2, c.dim))
+        m = hm[:, None].astype(jnp.float32) + te[:, :, None, :]
+        m = jnp.repeat(m, hp * wp, axis=1)
+        sh, sc = m[:, :, 0], m[:, :, 1]
+        y = _ln_noaffine(tok).astype(jnp.float32) * (1 + sc) + sh
+        y = nn.Dense(p * p * c.z_ch, dtype=jnp.float32,
+                     name="head")(y.astype(dt))
+        y = y.reshape(b, t, hp, wp, p, p, c.z_ch)
+        y = y.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, t, h, w, c.z_ch)
+        return y.astype(jnp.float32)
+
+
+def mask_to_latent(mask_thw, t_lat, lat_h, lat_w):
+    """(T, H, W) float hole mask -> (t_lat, lat_h, lat_w, 4): channel i
+    carries pixel frame 4*l - 3 + i of latent frame l (the causal VAE
+    grouping: latent 0 covers 1 frame, others 4), max-pooled over the
+    8x8 spatial footprint."""
+    t, h, w = mask_thw.shape
+    m = mask_thw.reshape(t, lat_h, h // lat_h, lat_w, w // lat_w)
+    m = m.max(axis=(2, 4))  # (T, lat_h, lat_w)
+    lead = jnp.repeat(m[:1], 3, axis=0)  # latent 0 covers frame 0 only
+    m4 = jnp.concatenate([lead, m], axis=0)  # (4*t_lat, .., ..)
+    return m4.reshape(t_lat, 4, lat_h, lat_w).transpose(0, 2, 3, 1)
+
+
+def sample_causal(apply_fn, params, rng, cond, cfg: WanConfig,
+                  context=None):
+    """Block-causal few-step flow sampling (the reference's
+    CausalInferencePipeline role, inspatio_world_infill.py:331-338).
+
+    cond: (B, T_lat, h, w, cond_ch). Returns clean latents
+    (B, T_lat, h, w, z_ch). One jitted lax.scan over
+    n_blocks * n_steps model calls; finished blocks ride at t=0 with
+    their clean values (the static-shape equivalent of KV caching).
+    """
+    b, t_lat, h, w, _ = cond.shape
+    n_blocks = t_lat // cfg.block_frames
+    assert n_blocks * cfg.block_frames == t_lat, (
+        f"T_lat {t_lat} not divisible by block size {cfg.block_frames}")
+    steps = list(cfg.denoise_steps) + [0.0]
+    n_steps = len(cfg.denoise_steps)
+
+    noise = jax.random.normal(rng, (b, t_lat, h, w, cfg.z_ch),
+                              jnp.float32)
+    frame_block = jnp.arange(t_lat) // cfg.block_frames
+    t_pairs = jnp.asarray(
+        [(steps[i], steps[i + 1]) for i in range(n_steps)], jnp.float32)
+
+    def body(x, si):
+        bi = si // n_steps
+        ti, tn = t_pairs[si % n_steps]
+        # frames: finished blocks t=0, active block ti, future t=1
+        tf = jnp.where(frame_block < bi, 0.0,
+                       jnp.where(frame_block == bi, ti, 1.0))
+        tf = jnp.broadcast_to(tf[None], (b, t_lat))
+        v = apply_fn(params, x, tf, cond, context)
+        x_new = x + (tn - ti) * v
+        upd = (frame_block == bi)[None, :, None, None, None]
+        return jnp.where(upd, x_new, x), None
+
+    x0, _ = jax.lax.scan(body, noise, jnp.arange(n_blocks * n_steps))
+    return x0

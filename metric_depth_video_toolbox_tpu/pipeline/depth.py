@@ -225,7 +225,7 @@ class SingleFrameEngine:
     def __init__(self, size="vits", input_size=518, params=None,
                  max_depth=100.0, estimates_fov=False, rng_seed=0,
                  data_parallel=True, variant="da", xfov=None, yfov=None,
-                 depthpro_cfg=None, quantize=None):
+                 depthpro_cfg=None, quantize=None, moge_cfg=None):
         self.variant = variant
         self.xfov = xfov
         self.yfov = yfov
@@ -238,6 +238,7 @@ class SingleFrameEngine:
         # (models.depthpro, weight-exact); without one the DA-class
         # stand-in with a focal head below keeps the contract
         self._depthpro_cfg = None
+        self._moge_cfg = None
         if (variant == "depthpro" and params is not None
                 and "patch_encoder" in params.get("params", {})):
             from metric_depth_video_toolbox_tpu.models import depthpro \
@@ -253,6 +254,30 @@ class SingleFrameEngine:
             self.cfg = da.preset(size, metric=True, max_depth=max_depth)
             self.model = dp_mod.DepthProNet(self._depthpro_cfg)
             estimates_fov = True
+        elif (variant == "moge" and params is not None
+                and "upsample0" in params.get("params", {}).get("head",
+                                                                {})):
+            # a converted Ruicheng/moge checkpoint (convert_moge)
+            # switches onto the real MoGe graph (models.moge,
+            # weight-exact); the focal/z-shift solve and NaN-sky
+            # contract below are shared with the stand-in. Upstream
+            # MoGe does not K-condition the net — fov_x only fixes the
+            # focal in the solve (moge_video.py:162), so k_condition
+            # stays off and --xfov flows through fixed_f.
+            from metric_depth_video_toolbox_tpu.models import moge \
+                as moge_mod
+            self._moge_cfg = moge_cfg or (
+                moge_mod.MOGE_TINY if size in ("vitt", "tiny")
+                else moge_mod.MOGE_L)
+            if quantize:
+                self._moge_cfg = _dc.replace(
+                    self._moge_cfg,
+                    vit=_dc.replace(self._moge_cfg.vit, quant=quantize))
+            self.cfg = da.preset(size, metric=True, max_depth=max_depth)
+            self.cfg = _dc.replace(
+                self.cfg, point_head=True,
+                dpt=_dc.replace(self.cfg.dpt, n_out=4, head_act="none"))
+            self.model = moge_mod.MoGeNet(self._moge_cfg)
         else:
             self.cfg = da.preset(size, metric=True, max_depth=max_depth)
             if variant == "unidepth" or (variant == "moge" and xfov):

@@ -57,6 +57,30 @@ def test_moge_nan_maps_to_max_depth(rng):
     np.testing.assert_allclose(d, 50.0)
 
 
+def test_moge_real_graph_dispatch(rng):
+    """A converted MoGe checkpoint (convert_moge layout) switches the
+    moge variant onto the real MoGeNet graph (models.moge), keeping the
+    shared focal/z-shift solve and --xfov fixed-focal contract."""
+    from metric_depth_video_toolbox_tpu.models import moge as moge_mod
+
+    cfg = moge_mod.MOGE_TINY
+    net = moge_mod.MoGeNet(cfg)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 28, 28, 3)))
+    eng = _tiny("moge", params=params)
+    assert isinstance(eng.model, moge_mod.MoGeNet)
+    assert eng.estimates_fov
+    d, fovs = eng.infer_video(_frames(rng), batch=2, return_fov=True)
+    assert d.shape == (2, 28, 28) and np.isfinite(d).all()
+    assert fovs is not None and np.isfinite(fovs).all()
+    # --xfov pins the sidecar fovs (fixed-focal solve, moge_video.py:162)
+    eng2 = _tiny("moge", params=params, xfov=55.0)
+    assert isinstance(eng2.model, moge_mod.MoGeNet)
+    d2, fovs2 = eng2.infer_video(_frames(rng), batch=2, return_fov=True)
+    assert np.isfinite(d2).all()
+    np.testing.assert_allclose(fovs2, 55.0)
+
+
 def test_depthpro_estimates_fov(rng):
     eng = _tiny("depthpro")
     d, fovs = eng.infer_video(_frames(rng, n=3), batch=3, return_fov=True)

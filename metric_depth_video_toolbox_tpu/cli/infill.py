@@ -87,6 +87,22 @@ def run(args):
                 preset = ("stereocrafter"
                           if args.infill_engine == "diffusion"
                           else args.infill_engine)
+                if shared_engine is None and preset == "inspatio_world":
+                    # inspatio_world runs its own architecture: the
+                    # Wan-class causal DiT (models.wan); --checkpoint
+                    # takes a convert_wan-converted tree
+                    import dataclasses
+                    from metric_depth_video_toolbox_tpu.models import \
+                        wan as wan_mod
+                    wcfg = (wan_mod.WAN_TINY if args.model_scale == "tiny"
+                            else wan_mod.WAN_1_3B)
+                    if args.num_inference_steps:
+                        n = args.num_inference_steps
+                        wcfg = dataclasses.replace(
+                            wcfg, denoise_steps=tuple(
+                                1.0 - i / n for i in range(n)))
+                    shared_engine = infill_diffusion.make_engine(
+                        preset, cfg=wcfg, params=params)
                 if shared_engine is None:  # model loads once per batch
                     from metric_depth_video_toolbox_tpu.models import \
                         diffusion as dif

@@ -182,6 +182,150 @@ class DiffusionInfillEngine:
                                                          a.ndim))
 
 
+class CausalInfillEngine:
+    """InSpatio-World-class infill: Wan-rate causal video DiT over
+    Wan-VAE latents (models.wan) — the reference's flagship engine run
+    as its OWN architecture, not an SVD preset.
+
+    Mirrors the reference conditioning scheme exactly
+    (inspatio_world_infill.py):
+      - render latent: holes blacked out of the warped frames (:431)
+      - ref latent: the SOURCE video, encoded ONCE and shared between
+        the left and right eye passes (:425-443) — here via a content-
+        keyed cache across infill_chunk calls
+      - mask latent: 4 temporal channels per latent frame (:316,
+        convert_mask_video role; models.wan.mask_to_latent)
+      - frame count padded so T_lat splits into causal blocks of 3
+        (:225-236), block-causal few-step generation (:331-338)
+    Same infill_chunk contract as DiffusionInfillEngine, so the chunked
+    SBS driver below is shared.
+    """
+
+    def __init__(self, cfg=None, params=None, work_hw=(480, 832),
+                 chunk=225, overlap=6, rng_seed=0,
+                 mono_conditioning=True, data_parallel=True):
+        from metric_depth_video_toolbox_tpu.models import wan as wan_mod
+        self.wan = wan_mod
+        self.cfg = cfg or wan_mod.WAN_1_3B
+        self.model = wan_mod.WanDiT(self.cfg)
+        self.enc = wan_mod.WanVAEEncoder(self.cfg.vae)
+        self.dec = wan_mod.WanVAEDecoder(self.cfg.vae)
+        self.work_hw = work_hw
+        self.chunk = chunk
+        self.overlap = overlap
+        self.mono_conditioning = mono_conditioning
+        self._params = params
+        self._rng = jax.random.PRNGKey(rng_seed)
+        self._ref_cache = (None, None)  # (key, ref_latent)
+        self._run_cache = {}
+        del data_parallel  # full-seq causal attention: single-chip v1
+
+    def _t_pad(self, t):
+        return self.wan.pad_to_valid_t(t, self.cfg.block_frames)
+
+    def _ensure(self):
+        if self._params is not None:
+            return
+        tp = self._t_pad(min(self.chunk, 5))
+        wh, ww = self.work_hw
+        f = jnp.zeros((1, tp, wh, ww, 3))
+        r0, r1, r2 = jax.random.split(self._rng, 3)
+        ep = jax.jit(self.enc.init)(r0, f)
+        z = jax.eval_shape(lambda: self.enc.apply(ep, f))
+        dp = jax.jit(self.dec.init)(r1, jnp.zeros(z.shape, jnp.float32))
+        tl, lh, lw = z.shape[1:4]
+        gp = jax.jit(self.model.init)(
+            r2, jnp.zeros((1, tl, lh, lw, self.cfg.z_ch)),
+            jnp.zeros((1, tl)),
+            jnp.zeros((1, tl, lh, lw, self.cfg.cond_ch)), None)
+        self._params = {"dit": gp, "enc": ep, "dec": dp}
+
+    def _encode_ref(self, mono_u8, tp):
+        """Source latent, cached by content so the second eye's pass
+        reuses the first's encode (reference shared_ref_latent)."""
+        key = (mono_u8.shape,
+               hash(np.ascontiguousarray(
+                   mono_u8[::max(1, mono_u8.shape[0] // 4), ::16, ::16]
+               ).tobytes()))
+        if self._ref_cache[0] == key:
+            return self._ref_cache[1]
+        wh, ww = self.work_hw
+        t = mono_u8.shape[0]
+
+        @jax.jit
+        def enc_run(params, m_u8):
+            m = m_u8.astype(jnp.float32) / 127.5 - 1.0
+            m = jax.image.resize(m, (1, t, wh, ww, 3), "bilinear")
+            m = jnp.concatenate(
+                [m, jnp.repeat(m[:, -1:], tp - t, axis=1)], axis=1) \
+                if tp > t else m
+            return self.enc.apply(params, m)
+        ref = robust_call(enc_run, self._params["enc"],
+                          jnp.asarray(mono_u8)[None])
+        self._ref_cache = (key, ref)
+        return ref
+
+    def infill_chunk(self, frames_u8, hole_mask, mono_u8=None):
+        """(T, H, W, 3) uint8 render + (T, H, W) bool holes ->
+        infilled uint8 (composited into the holes, LHM color-matched
+        like the reference's transfer_lhm_video_refmask :463-476)."""
+        self._ensure()
+        t, h, w = frames_u8.shape[:3]
+        tp = self._t_pad(t)
+        wh, ww = self.work_hw
+        if mono_u8 is None:
+            mono_u8 = np.zeros_like(np.asarray(frames_u8))
+        ref = self._encode_ref(np.asarray(mono_u8), tp)
+        tl = self.wan.latent_frames(tp)
+        lh, lw = ref.shape[2], ref.shape[3]
+
+        key = (t, h, w)
+        run = self._run_cache.get(key)
+        if run is None:
+            cfg, enc, dec, model, wan_mod = (self.cfg, self.enc,
+                                             self.dec, self.model,
+                                             self.wan)
+
+            @jax.jit
+            def run(params, rng, f_u8, m, ref_lat):
+                f = f_u8.astype(jnp.float32) / 127.5 - 1.0
+                fw = jax.image.resize(f, (t, wh, ww, 3), "bilinear")
+                mw = jax.image.resize(
+                    m.astype(jnp.float32), (t, wh, ww), "nearest")
+                # reference blacks holes out of the render (:431);
+                # black = 0 u8 = -1 in [-1,1]
+                fw = jnp.where(mw[..., None] > 0, -1.0, fw)
+                if tp > t:
+                    fw = jnp.concatenate(
+                        [fw, jnp.repeat(fw[-1:], tp - t, axis=0)])
+                    mw = jnp.concatenate(
+                        [mw, jnp.repeat(mw[-1:], tp - t, axis=0)])
+                render = enc.apply(params["enc"], fw[None])
+                mlat = wan_mod.mask_to_latent(mw, tl, lh, lw)[None]
+                cond = jnp.concatenate([render, ref_lat, mlat], axis=-1)
+                z = wan_mod.sample_causal(
+                    lambda p, x, tf, c, ctx: model.apply(p, x, tf, c,
+                                                         ctx),
+                    params["dit"], rng, cond, cfg)
+                out = dec.apply(params["dec"], z)[0, :t]
+                out = (out * 0.5 + 0.5) * 255.0
+                out = jax.image.resize(out, (t, h, w, 3), "bilinear")
+                outm = jax.vmap(
+                    lambda g, r, wt: infill_ops.lhm_color_transfer(
+                        g, r, ref_weights=wt))(
+                    out, f_u8.astype(jnp.float32),
+                    1.0 - m.astype(jnp.float32))
+                comp = jnp.where(m[..., None], outm,
+                                 f_u8.astype(jnp.float32))
+                return jnp.clip(comp, 0, 255).astype(jnp.uint8)
+            self._run_cache[key] = run
+
+        self._rng, sub = jax.random.split(self._rng)
+        return robust_call(run, self._params, sub,
+                           jnp.asarray(frames_u8),
+                           jnp.asarray(hole_mask), ref)
+
+
 def infill_sbs_video_diffusion(sbs_video, infill_mask_video, output=None,
                                color_video=None, engine=None,
                                max_frames=-1, chunk=25, overlap=6,
@@ -297,9 +441,24 @@ ENGINE_PRESETS = {
 
 
 def make_engine(preset="stereocrafter", cfg=None, params=None, **overrides):
-    """Build a DiffusionInfillEngine + driver kwargs from a preset."""
+    """Build an infill engine + driver kwargs from a preset.
+
+    ``inspatio_world`` (or any WanConfig cfg) builds the Wan-class
+    causal DiT engine (CausalInfillEngine) — the reference's flagship
+    infill as its own architecture; the other presets build the
+    SVD-class DiffusionInfillEngine."""
     p = dict(ENGINE_PRESETS[preset])
     p.update(overrides)
+    from metric_depth_video_toolbox_tpu.models import wan as wan_mod
+    if preset == "inspatio_world" or isinstance(cfg, wan_mod.WanConfig):
+        eng = CausalInfillEngine(
+            cfg=cfg if isinstance(cfg, wan_mod.WanConfig) else None,
+            params=params, work_hw=p.pop("work_hw"),
+            chunk=p["chunk"], overlap=p["overlap"],
+            mono_conditioning=p.pop("mono_conditioning", True))
+        for k in ("vae_cfg", "clip_params", "clip_cfg"):
+            p.pop(k, None)
+        return eng, p
     eng = DiffusionInfillEngine(
         cfg=cfg, params=params, work_hw=p.pop("work_hw"),
         chunk=p["chunk"], overlap=p["overlap"],

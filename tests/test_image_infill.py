@@ -121,9 +121,18 @@ def test_infill_engine_presets_run(tmp_path, rng):
     vio.save_rgb_video(frames, sbs, 24)
     vio.save_rgb_video(masks, mk, 24)
 
+    from metric_depth_video_toolbox_tpu.models import wan as wan_mod
+    from metric_depth_video_toolbox_tpu.pipeline.infill_diffusion \
+        import CausalInfillEngine
     for preset in ("stereocrafter", "inspatio_world"):
+        # inspatio_world runs its OWN architecture: the Wan-class
+        # causal DiT (reference inspatio_world_infill.py), not SVD
+        kw = ({"cfg": wan_mod.WAN_TINY, "work_hw": (32, 32)}
+              if preset == "inspatio_world" else {"work_hw": (24, 32)})
         eng, drv = infill_diffusion.make_engine(
-            preset, work_hw=(24, 32), chunk=3, overlap=1)
+            preset, chunk=3, overlap=1, **kw)
+        if preset == "inspatio_world":
+            assert isinstance(eng, CausalInfillEngine)
         out = infill_diffusion.infill_sbs_video_diffusion(
             sbs, mk, output=str(tmp_path / f"{preset}.mkv"), engine=eng,
             mirror_left=drv["mirror_left"],

@@ -33,6 +33,29 @@ from metric_depth_video_toolbox_tpu.utils.host import to_host as _to_host
 FFV1 = "FFV1"
 
 
+def lossless_fourcc(width, height):
+    """Fast-lossless codec choice for intermediate videos.
+
+    HuffYUV (cv2 rgb24 path) is byte-exact like FFV1 but measured ~9x
+    faster to encode (6.7 vs 0.71 fps at 3840x1080 SBS on this 1-core
+    host) and ~2x faster to decode — FFV1's range coder was THE
+    end-to-end bottleneck (e2e stereo was 0.2 fps while the device step
+    ran 49 fps). Odd dimensions fall back to FFV1, the reference's
+    codec (cv2 truncates odd dims to even for BOTH codecs — a
+    pre-existing cv2 limitation shared with the reference's cv2+FFV1
+    writers — so neither is exact there; real video sources are even).
+    ``MDVT_LOSSLESS_CODEC=FFV1`` restores the reference's on-disk codec
+    everywhere (reference writes FFV1 intermediates,
+    stereo_rerender.py:435,442); any readable fourcc works too.
+    """
+    env = os.environ.get("MDVT_LOSSLESS_CODEC")
+    if env:
+        return env
+    if width % 2 == 0 and height % 2 == 0:
+        return "HFYU"
+    return FFV1
+
+
 def _require_cv2():
     if cv2 is None:
         raise RuntimeError("OpenCV (cv2) is required for video I/O")
@@ -196,12 +219,13 @@ class PrefetchingBatchReader:
 
 
 class AsyncVideoWriter:
-    """Background-thread writer: FFV1 encode of batch N overlaps device
-    compute on batch N+1 (paired with PrefetchingBatchReader this makes
-    the stereo driver's host I/O fully asynchronous — SURVEY.md §7 hard
-    part (e): ~10 GB/min lossless streams must not starve the chip)."""
+    """Background-thread writer: lossless encode of batch N overlaps
+    device compute on batch N+1 (paired with PrefetchingBatchReader this
+    makes the stereo driver's host I/O fully asynchronous — SURVEY.md §7
+    hard part (e): ~10 GB/min lossless streams must not starve the
+    chip). Codec defaults to lossless_fourcc (HuffYUV where exact)."""
 
-    def __init__(self, path, fps, width, height, codec_fourcc=FFV1,
+    def __init__(self, path, fps, width, height, codec_fourcc=None,
                  depth=8):
         self.writer = VideoWriter(path, fps, width, height, codec_fourcc)
         self._q = queue.Queue(maxsize=depth)
@@ -242,7 +266,7 @@ class VideoWriter:
     commit semantics. Use as a context manager; ``commit()`` verifies frame
     count and renames over the final path."""
 
-    def __init__(self, path, fps, width, height, codec_fourcc=FFV1,
+    def __init__(self, path, fps, width, height, codec_fourcc=None,
                  tmp_path=None):
         _require_cv2()
         self.path = path
@@ -251,6 +275,8 @@ class VideoWriter:
         self.width = int(width)
         self.height = int(height)
         self.frames_written = 0
+        if codec_fourcc is None:  # fast-lossless default (HFYU/FFV1)
+            codec_fourcc = lossless_fourcc(self.width, self.height)
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self.writer = cv2.VideoWriter(
             self.tmp_path, cv2.VideoWriter_fourcc(*codec_fourcc), fps,

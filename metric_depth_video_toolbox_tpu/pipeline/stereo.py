@@ -521,7 +521,7 @@ def render_stereo_video(depth_video, color_video=None, output=None,
 
     writer = vio.AsyncVideoWriter(
         output, fps, *out_size,
-        codec_fourcc="mp4v" if compressed else "FFV1")
+        codec_fourcc="mp4v" if compressed else None)
     mask_writer = (vio.AsyncVideoWriter(output + "_infillmask.mkv", fps,
                                         *out_size) if infill_mask else None)
     depth_writer = (vio.AsyncVideoWriter(output + "_depth.mkv", fps,

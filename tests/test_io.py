@@ -85,3 +85,29 @@ def test_sidecar_roundtrips(tmp_path, rng):
 def test_missing_video_raises():
     with pytest.raises(FileNotFoundError):
         video.VideoReader("/nonexistent/file.mkv")
+
+
+def test_lossless_fourcc_selection(tmp_path, rng, monkeypatch):
+    # HuffYUV (fast path) only where byte-exact: even width AND height;
+    # odd dims fall back to FFV1. MDVT_LOSSLESS_CODEC overrides both.
+    assert video.lossless_fourcc(48, 32) == "HFYU"
+    assert video.lossless_fourcc(47, 32) == "FFV1"
+    assert video.lossless_fourcc(48, 31) == "FFV1"
+    monkeypatch.setenv("MDVT_LOSSLESS_CODEC", "FFV1")
+    assert video.lossless_fourcc(48, 32) == "FFV1"
+
+
+def test_default_codec_roundtrip_exact(tmp_path, rng):
+    # the default (codec_fourcc=None) writer must stay byte-exact on
+    # the HFYU fast path (odd dims are truncated to even by cv2 for
+    # every lossless codec — a limitation shared with the reference's
+    # cv2+FFV1 writers, hence untestable for exactness)
+    w, h = 48, 32
+    path = str(tmp_path / f"rt{w}x{h}.mkv")
+    frames = rng.integers(0, 255, (4, h, w, 3), np.uint8)
+    wr = video.VideoWriter(path, 24, w, h)
+    for f in frames:
+        wr.write(f)
+    assert wr.commit()
+    out, _ = video.read_video_frames(path)
+    assert (out == frames).all()

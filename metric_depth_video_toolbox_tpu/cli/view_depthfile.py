@@ -1,5 +1,8 @@
-"""CLI: render a depth video from a free camera
-(reference 3d_view_depthfile.py --render path)."""
+"""CLI: view or render a depth video in 3D (reference
+3d_view_depthfile.py). Without --render this opens the interactive
+viewer (a local web app standing in for the reference's Open3D window,
+pipeline/viewer.py); with --render it renders the scripted camera to a
+video file (pipeline/view.py)."""
 
 from __future__ import annotations
 
@@ -36,7 +39,11 @@ def build_parser(parser=None):
     p.add_argument("--ty", type=float)
     p.add_argument("--tz", type=float)
     p.add_argument("--render", action="store_true",
-                   help="render to video (always on; kept for parity)")
+                   help="render to video instead of the interactive viewer")
+    p.add_argument("--port", type=int, default=8124,
+                   help="interactive viewer port")
+    p.add_argument("--viewer_max_points", type=int, default=400_000,
+                   help="point budget per interactive frame")
     return p
 
 
@@ -47,6 +54,19 @@ def run(args):
     transforms = None
     if args.transformation_file:
         transforms = sidecar.load_transformations(args.transformation_file)
+    if not args.render:
+        from metric_depth_video_toolbox_tpu.pipeline import viewer
+        viewer.serve(
+            args.depth_video, color_video=args.color_video,
+            port=args.port, background_ply=args.background_ply,
+            mask_video=args.mask_video, invert_mask=args.invert_mask,
+            xfov=args.xfov, yfov=args.yfov, max_depth=args.max_depth,
+            transformations=transforms,
+            transformation_lock_frame=args.transformation_lock_frame,
+            remove_edges=args.remove_edges,
+            max_points=args.viewer_max_points,
+            max_frames=args.max_frames)
+        return None
     target = None
     if args.tx is not None or args.ty is not None or args.tz is not None:
         target = (args.tx or 0.0, args.ty or 0.0, args.tz or 0.0)

@@ -109,6 +109,17 @@ class VideoReader:
             self._remaining -= 1
         return cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
 
+    def read_frame(self, n):
+        """Random-access read of frame ``n`` (RGB uint8, None past the
+        end). Seeks via CAP_PROP_POS_FRAMES — exact on the intra-only
+        codecs the toolbox writes (FFV1/HFYU); used by the interactive
+        viewer's scrubber."""
+        self.cap.set(cv2.CAP_PROP_POS_FRAMES, n)
+        ok, frame = self.cap.read()
+        if not ok:
+            return None
+        return cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+
     def read_batch(self, batch_size):
         """Read up to ``batch_size`` frames as one (T, H, W, 3) uint8 array
         (None at end of stream)."""

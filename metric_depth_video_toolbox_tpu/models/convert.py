@@ -776,6 +776,131 @@ def convert_svd_vae(state_dict, cfg):
     return {"encoder": {"params": enc}, "decoder": {"params": dec}}
 
 
+def _sgm_video_unet_to_diffusers(sd, cfg):
+    """Rename an sgm/ldm VideoUNet state dict (the m2svid / Hi3D stack,
+    reference m2svid_infill.py:485-488: ``sgm.util.instantiate_from_config``
+    + ``init_from_ckpt('ckpts/m2svid_weights.pt')``) to the diffusers
+    UNetSpatioTemporalConditionModel key layout, so convert_svd_unet's
+    proven mapping finishes the job. The two layouts are tensor-for-
+    tensor identical (diffusers' SVD was converted FROM this sgm graph);
+    only module paths differ:
+
+        time_embed.0/2            -> time_embedding.linear_1/2
+        label_emb.0.0/0.2         -> add_embedding.linear_1/2
+        input_blocks.0.0          -> conv_in
+        input_blocks.i.0 ResBlock -> down_blocks.l.resnets.j
+          (in_layers.0/2, emb_layers.1, out_layers.0/3, skip_connection
+           -> norm1/conv1, time_emb_proj, norm2/conv2, conv_shortcut,
+           spatial + .time_stack temporal halves, time_mixer)
+        input_blocks.i.1 SpatialVideoTransformer
+                                  -> down_blocks.l.attentions.j
+          (time_stack.j -> temporal_transformer_blocks.j,
+           time_pos_embed.0/2 -> .linear_1/2)
+        input_blocks.i.0.op       -> down_blocks.l.downsamplers.0.conv
+        middle_block.0/1/2        -> mid_block.resnets.0 / attentions.0
+                                     / resnets.1
+        output_blocks.*           -> up_blocks.* (+ trailing Upsample
+                                     module -> upsamplers.0.conv)
+        out.0/2                   -> conv_norm_out / conv_out
+    """
+    n = len(cfg.block_out_channels)
+    lpb = cfg.layers_per_block
+    ren = {"time_embed.0": "time_embedding.linear_1",
+           "time_embed.2": "time_embedding.linear_2",
+           "label_emb.0.0": "add_embedding.linear_1",
+           "label_emb.0.2": "add_embedding.linear_2",
+           "input_blocks.0.0": "conv_in",
+           "out.0": "conv_norm_out",
+           "out.2": "conv_out"}
+
+    def res_rules(src, dst):
+        for half_s, half_d in (("", ".spatial_res_block"),
+                               (".time_stack", ".temporal_res_block")):
+            ren[f"{src}{half_s}.in_layers.0"] = f"{dst}{half_d}.norm1"
+            ren[f"{src}{half_s}.in_layers.2"] = f"{dst}{half_d}.conv1"
+            ren[f"{src}{half_s}.emb_layers.1"] = \
+                f"{dst}{half_d}.time_emb_proj"
+            ren[f"{src}{half_s}.out_layers.0"] = f"{dst}{half_d}.norm2"
+            ren[f"{src}{half_s}.out_layers.3"] = f"{dst}{half_d}.conv2"
+            ren[f"{src}{half_s}.skip_connection"] = \
+                f"{dst}{half_d}.conv_shortcut"
+        ren[f"{src}.time_mixer"] = f"{dst}.time_mixer"
+
+    def attn_rules(src, dst):
+        # spatial transformer_blocks keep their names; the temporal
+        # stack and pos-embed differ
+        ren[src] = dst
+        ren[f"{src}.time_stack"] = f"{dst}.temporal_transformer_blocks"
+        ren[f"{src}.time_pos_embed.0"] = f"{dst}.time_pos_embed.linear_1"
+        ren[f"{src}.time_pos_embed.2"] = f"{dst}.time_pos_embed.linear_2"
+
+    idx = 1
+    for i in range(n):
+        for j in range(lpb):
+            res_rules(f"input_blocks.{idx}.0",
+                      f"down_blocks.{i}.resnets.{j}")
+            if i < n - 1:
+                attn_rules(f"input_blocks.{idx}.1",
+                           f"down_blocks.{i}.attentions.{j}")
+            idx += 1
+        if i < n - 1:
+            ren[f"input_blocks.{idx}.0.op"] = \
+                f"down_blocks.{i}.downsamplers.0.conv"
+            idx += 1
+    res_rules("middle_block.0", "mid_block.resnets.0")
+    attn_rules("middle_block.1", "mid_block.attentions.0")
+    res_rules("middle_block.2", "mid_block.resnets.1")
+    idx = 0
+    for k in range(n):          # output_blocks.0 = coarsest level
+        i = n - 1 - k           # resolution level
+        has_attn = i < n - 1
+        for j in range(lpb + 1):
+            res_rules(f"output_blocks.{idx}.0",
+                      f"up_blocks.{k}.resnets.{j}")
+            if has_attn:
+                attn_rules(f"output_blocks.{idx}.1",
+                           f"up_blocks.{k}.attentions.{j}")
+            if j == lpb and k < n - 1:
+                m = 2 if has_attn else 1
+                ren[f"output_blocks.{idx}.{m}.conv"] = \
+                    f"up_blocks.{k}.upsamplers.0.conv"
+            idx += 1
+    # longest-prefix rename (rules are module paths; match at '.'
+    # boundaries so e.g. input_blocks.1 does not eat input_blocks.10)
+    rules = sorted(ren.items(), key=lambda kv: -len(kv[0]))
+    out = {}
+    for key, val in sd.items():
+        for src, dst in rules:
+            if key == src or key.startswith(src + "."):
+                out[dst + key[len(src):]] = val
+                break
+        else:
+            out[key] = val
+    return out
+
+
+def convert_m2svid_sgm(state_dict, cfg=None):
+    """m2svid (sgm/Hi3D video LDM, reference m2svid_infill.py:485-488)
+    full-model checkpoint -> our models.svd.SVDUNet params.
+
+    The checkpoint wraps the denoiser under ``model.diffusion_model.``;
+    that VideoUNet is architecturally the SVD spatio-temporal UNet with
+    a conditioning-extended conv_in (noisy z + reprojected-view latent
+    + mask, the reference's input_batch contract m2svid_infill.py:89-98),
+    which our SVDConfig(in_channels=9) graph already is. The VAE and
+    CLIP conditioner ship as stock SVD weights and load via
+    convert_svd_vae / convert_clip_vision."""
+    from metric_depth_video_toolbox_tpu.models import svd as svdm
+    cfg = cfg or svdm.SVDConfig()
+    pref = "model.diffusion_model."
+    unet_sd = {k[len(pref):]: v for k, v in state_dict.items()
+               if k.startswith(pref)}
+    if not unet_sd:      # bare VideoUNet state dict (no sgm wrapper)
+        unet_sd = state_dict
+    return convert_svd_unet(_sgm_video_unet_to_diffusers(unet_sd, cfg),
+                            cfg)
+
+
 def convert_cotracker3(state_dict, cfg=None):
     """facebookresearch/co-tracker ``cotracker3_offline`` state dict ->
     our models.cotracker.CoTracker3 params (forward equivalence proven
@@ -1045,6 +1170,8 @@ def convert_torch_file(path, kind, cfg=None):
         return convert_vda(sd, cfg)
     if kind == "svd_unet":
         return convert_svd_unet(sd, cfg)
+    if kind in ("m2svid", "m2svid_sgm"):
+        return convert_m2svid_sgm(sd, cfg)
     if kind == "svd_vae":
         return convert_svd_vae(sd, cfg)
     if kind == "clip_vision":
@@ -1070,6 +1197,10 @@ WEIGHT_REGISTRY = {
         "InSpatio-World-1.3B.safetensors"]},
     "raft": {"kind": "raft", "files": ["raft-large.pth"]},
     "stereocrafter": {"kind": "svd_unet", "files": ["stereocrafter"]},
+    # m2svid ships an sgm/Hi3D full-model checkpoint (reference
+    # m2svid_infill.py:487); the denoiser maps onto our SVDUNet via
+    # convert_m2svid_sgm, VAE/CLIP are stock SVD weights
+    "m2svid": {"kind": "m2svid_sgm", "files": ["m2svid_weights.pt"]},
     # DepthCrafter / GeometryCrafter are SVD fine-tunes: same UNet+VAE
     # layout, converted by the stereocrafter converters and loaded into
     # pipeline.depth.{DepthCrafter,GeometryCrafter}Engine(cfg=SVDConfig())

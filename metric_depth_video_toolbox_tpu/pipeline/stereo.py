@@ -39,7 +39,8 @@ from metric_depth_video_toolbox_tpu.ops import geometry as geo
 from metric_depth_video_toolbox_tpu.ops import image as im
 from metric_depth_video_toolbox_tpu.ops import infill as infill_ops
 from metric_depth_video_toolbox_tpu.ops import rasterize
-from metric_depth_video_toolbox_tpu.utils.host import robust_call, to_host
+from metric_depth_video_toolbox_tpu.utils.host import (robust_call_select,
+                                                       to_host)
 
 GREEN = jnp.array([0.0, 1.0, 0.0], jnp.float32)
 
@@ -501,7 +502,24 @@ def render_stereo_video(depth_video, color_video=None, output=None,
     if convergence_depths is not None:
         convergence_depths = smooth_convergence(convergence_depths)
 
-    step = _cached_step(cfg)
+    # sparse mask transfer only helps when D2H is the bottleneck
+    # (tunneled runtimes); equirect resampling needs the dense mask on
+    # device anyway, so vr180 keeps the dense path
+    pack_mask = infill_mask and not vr180 and _tunneled_runtime()
+    step = _cached_step(cfg, want_mask=infill_mask,
+                        want_depth=create_sbs_depth,
+                        pack_mask=pack_mask)
+    fetch_keys = ["image"]
+    if infill_mask:
+        # mask_vals is NOT in the eager fetch: its static cap (H*W//5)
+        # would transfer ~2.5 MB/frame even when holes are ~5%; the
+        # driver slices vals[:, :bucket(max_count)] after reading the
+        # counts (power-of-two buckets keep the XLA slice-program set
+        # bounded)
+        fetch_keys += (["mask_bits", "mask_count"]
+                       if pack_mask else ["infill_mask"])
+    if create_sbs_depth:
+        fetch_keys.append("sbs_depth")
 
     eq_map = None
 
@@ -529,7 +547,6 @@ def render_stereo_video(depth_video, color_video=None, output=None,
                     if create_sbs_depth else None)
 
     frame_n = 0
-    enc_depth = _cached_enc(max_depth)
     try:
         while True:
             depth_rgb = dv.read_batch(batch_size)
@@ -569,33 +586,53 @@ def render_stereo_video(depth_video, color_video=None, output=None,
                 convs.append(float(convergence_depths[fi])
                              if convergence_depths is not None else 0.0)
 
-            out = robust_call(step, jnp.asarray(depth_rgb), jnp.asarray(color),
-                       jnp.asarray(np.stack(ks), jnp.float32),
-                       jnp.asarray(np.stack(rks), jnp.float32),
-                       jnp.asarray(np.stack(tfs), jnp.float32),
-                       jnp.asarray(np.asarray(convs), jnp.float32),
-                       jnp.asarray(np.asarray(scales), jnp.float32))
+            out, out_dev = robust_call_select(
+                step, jnp.asarray(depth_rgb), jnp.asarray(color),
+                jnp.asarray(np.stack(ks), jnp.float32),
+                jnp.asarray(np.stack(rks), jnp.float32),
+                jnp.asarray(np.stack(tfs), jnp.float32),
+                jnp.asarray(np.asarray(convs), jnp.float32),
+                jnp.asarray(np.asarray(scales), jnp.float32),
+                keys=fetch_keys)
             images = out["image"]
-            masks = out["infill_mask"]
+            masks = out.get("infill_mask")
+            if pack_mask:
+                mh, mw = images.shape[1], images.shape[2]
+                cap = (mh * mw) // MASK_PACK_FRAC
+                counts = out["mask_count"]
+                mx = int(counts.max()) if b else 0
+                if mx > 0:
+                    bucket = min(cap, max(1 << 17, 1 << mx.bit_length()))
+                    vals = to_host(out_dev["mask_vals"][:, :bucket])
+                else:
+                    vals = np.zeros((b, 1, 3), np.uint8)
+                masks = np.empty((b, mh, mw, 3), np.uint8)
+                for i in range(b):
+                    if counts[i] > cap:  # rare: fetch dense
+                        masks[i] = to_host(out_dev["infill_mask"][i])
+                    else:
+                        masks[i] = _unpack_mask_frame(
+                            out["mask_bits"][i], vals[i],
+                            int(counts[i]), mh, mw)
 
             if vr180 and render_fov is not None:
                 if eq_map is None:
                     eq_map = jnp.asarray(equirect_maps(out_h, out_w,
                                                        render_fov))
-                images = _equirect_batch(images, eq_map, touchly0)
+                images = to_host(_equirect_batch(jnp.asarray(images),
+                                                 eq_map, touchly0))
                 if infill_mask:
-                    masks = _equirect_batch(masks, eq_map, touchly0)
+                    masks = to_host(_equirect_batch(jnp.asarray(masks),
+                                                    eq_map, touchly0))
 
             for i in range(images.shape[0]):
                 writer.write(images[i])
                 if mask_writer is not None:
                     mask_writer.write(masks[i])
             if depth_writer is not None:
-                dl = to_host(enc_depth(jnp.asarray(out["depth_left"])))
-                dr = to_host(enc_depth(jnp.asarray(out["depth_right"])))
-                for i in range(dl.shape[0]):
-                    depth_writer.write(
-                        np.concatenate([dl[i], dr[i]], axis=1))
+                sbs_depth = out["sbs_depth"]
+                for i in range(sbs_depth.shape[0]):
+                    depth_writer.write(sbs_depth[i])
             frame_n += b
             if 0 <= max_frames <= frame_n:
                 break
@@ -612,27 +649,101 @@ def render_stereo_video(depth_video, color_video=None, output=None,
 
 
 _STEP_CACHE = {}
-_ENC_CACHE = {}
 
 
-def _cached_enc(max_depth):
-    enc = _ENC_CACHE.get(max_depth)
-    if enc is None:
-        enc = jax.jit(lambda d: codec.encode_depth_frame(d, max_depth))
-        _ENC_CACHE[max_depth] = enc
-    return enc
+MASK_PACK_FRAC = 5  # packed-value cap = H*W // 5 (20% hole budget)
 
 
-def _cached_step(cfg):
+def _pack_mask_batch(mask_u8):
+    """Sparse transfer encoding of the infill-mask image (device side).
+
+    The mask is nonzero only at disocclusion holes (typically 2–10% of
+    pixels), but a dense uint8 transfer costs 3 B/px — on tunneled
+    runtimes (~5–25 MB/s D2H) that is seconds per 1080p batch. Pack it
+    as (a) a 1 bit/px hole bitmap and (b) the hole pixels' values
+    compacted to the front in raster order via a stable argsort (the
+    repo-standard compact-worklist trick, ~5x faster than
+    jnp.where(size=)), capped at H*W//MASK_PACK_FRAC entries. The host
+    reconstructs the dense mask from np.unpackbits + one scatter; a
+    frame whose hole count exceeds the cap is reported via ``count`` so
+    the caller can fall back to fetching that frame's dense mask."""
+    b, h, w, _ = mask_u8.shape
+    k = (h * w) // MASK_PACK_FRAC
+    hole = jnp.any(mask_u8 > 0, axis=-1)
+    wpad = (-w) % 8
+    hp = jnp.pad(hole, ((0, 0), (0, 0), (0, wpad)))
+    weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    bits = (hp.reshape(b, h, -1, 8).astype(jnp.uint8)
+            * weights).sum(-1).astype(jnp.uint8)
+    flat = mask_u8.reshape(b, h * w, 3)
+    hole_flat = hole.reshape(b, h * w)
+    order = jnp.argsort(~hole_flat, axis=1)  # stable: raster order
+    vals = jnp.take_along_axis(flat, order[:, :k, None], axis=1)
+    count = hole_flat.sum(axis=1).astype(jnp.int32)
+    return {"mask_bits": bits, "mask_vals": vals, "mask_count": count}
+
+
+def _unpack_mask_frame(bits, vals, count, h, w):
+    """Host-side inverse of _pack_mask_batch for one frame."""
+    hole = np.unpackbits(bits, axis=-1)[:, :w].astype(bool)
+    pos = np.flatnonzero(hole)
+    dense = np.zeros((h * w, 3), np.uint8)
+    dense[pos] = vals[:pos.size]
+    return dense.reshape(h, w, 3)
+
+
+def _tunneled_runtime():
+    """True when the device backend is a remote tunnel (the 'axon'
+    experimental platform): D2H there runs at single-digit MB/s, so
+    spending device FLOPs to shrink transfers pays. On a real PCIe
+    host the dense fetch is near-free and packing would only add
+    device time."""
+    try:
+        return jax.default_backend() == "axon"
+    except Exception:
+        return False
+
+
+def _cached_step(cfg, want_mask=True, want_depth=True, pack_mask=False):
     """Jitted batched stereo step, cached by config: a fresh jax.jit
     closure per render call would RECOMPILE the whole program every
     scene (measured ~100 s per movie scene on the remote-compile
-    runtime)."""
-    step = _STEP_CACHE.get(cfg)
+    runtime).
+
+    ``want_mask``/``want_depth`` prune the returned dict INSIDE the jit:
+    outputs nobody writes are dead-code-eliminated by XLA and — the
+    bigger win on tunneled runtimes — never transferred. The unpruned
+    step fetched two full-res float32 depth maps per frame (~16.6
+    MB/frame at 1080p) that the default driver discarded; the tunnel
+    moves ~10 MB/s, so this alone dominated e2e wall time. Depth, when
+    wanted, leaves the device already RGB-encoded SBS uint8 (6 B/px
+    instead of the 8 B/px float pair). ``pack_mask`` additionally
+    emits the sparse mask encoding (_pack_mask_batch); the driver then
+    fetches the packed form and skips the dense 3 B/px mask unless a
+    frame overflows the cap."""
+    key = (cfg, want_mask, want_depth, pack_mask)
+    step = _STEP_CACHE.get(key)
     if step is None:
-        step = jax.jit(jax.vmap(partial(stereo_frame, cfg=cfg),
-                                in_axes=(0, 0, 0, 0, 0, 0, 0)))
-        _STEP_CACHE[cfg] = step
+        vstep = jax.vmap(partial(stereo_frame, cfg=cfg),
+                         in_axes=(0, 0, 0, 0, 0, 0, 0))
+
+        def pruned(*args):
+            out = vstep(*args)
+            res = {"image": out["image"]}
+            if want_mask:
+                res["infill_mask"] = out["infill_mask"]
+                if pack_mask:
+                    res.update(_pack_mask_batch(out["infill_mask"]))
+            if want_depth:
+                dl = codec.encode_depth_frame(out["depth_left"],
+                                              cfg.max_depth)
+                dr = codec.encode_depth_frame(out["depth_right"],
+                                              cfg.max_depth)
+                res["sbs_depth"] = jnp.concatenate([dl, dr], axis=2)
+            return res
+
+        step = jax.jit(pruned)
+        _STEP_CACHE[key] = step
     return step
 
 

@@ -83,6 +83,25 @@ def robust_call(fn, *args, timeout=FETCH_TIMEOUT_S, retries=FETCH_RETRIES,
         f"device call+fetch failed after {retries} attempts")
 
 
+def robust_call_select(fn, *args, keys=None, timeout=FETCH_TIMEOUT_S,
+                       retries=FETCH_RETRIES, **kwargs):
+    """Like robust_call, but fn must return a dict and only ``keys``
+    are fetched to host; the full device dict is returned alongside so
+    the caller can fetch more later (e.g. a sparse-overflow fallback).
+    Returns (host_subset, device_dict)."""
+    for attempt in range(retries):
+        out = fn(*args, **kwargs)
+        sel = out if keys is None else {k: out[k] for k in keys
+                                        if k in out}
+        ok, val = _fetch_once(sel, timeout)
+        if ok:
+            return val, out
+        print(f"[robust_call_select] fetch timed out; re-dispatching "
+              f"(attempt {attempt + 1}/{retries})", flush=True)
+    raise DeviceFetchTimeout(
+        f"device call+fetch failed after {retries} attempts")
+
+
 def scalar(x):
     """Fetch a device scalar safely."""
     return to_host(x).item()

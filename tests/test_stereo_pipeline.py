@@ -74,6 +74,24 @@ def test_render_stereo_video_end_to_end(tmp_path):
     assert 0.4 < shift < 3.0
 
 
+def test_create_sbs_depth_output(tmp_path):
+    """--create_sbs_depth emits an RGB-encoded SBS depth video whose
+    decode matches the rendered scene depth (reference
+    stereo_rerender.py --create_sbs_depth). The encode now happens on
+    device (uint8 out) so the driver never fetches float32 depth."""
+    dpath, cpath, depth, color = _make_scene_videos(tmp_path, t=2)
+    out = stereo.render_stereo_video(
+        dpath, color_video=cpath, xfov=60.0, batch_size=2,
+        remove_edges=False, place_edge_points=False,
+        create_sbs_depth=True, master_xfov=60.0)
+    frames, _ = vio.read_video_frames(out + "_depth.mkv")
+    assert frames.shape == (2, 48, 2 * 64, 3)
+    dec = np.asarray(codec.decode_depth_frame(
+        jnp.asarray(frames[0, :, :64]), 100.0))
+    # background plane is 8 m; rendered+encoded+decoded must round-trip
+    assert np.isclose(np.median(dec[dec > 0.1]), 8.0, atol=0.2)
+
+
 def test_touchly1_layout(tmp_path):
     dpath, cpath, depth, color = _make_scene_videos(tmp_path, t=2)
     out = stereo.render_stereo_video(
@@ -86,6 +104,28 @@ def test_touchly1_layout(tmp_path):
     # to touchly_max_depth 5) must be *brighter* (nearer = higher value)
     panel = frames[0, 48:]
     assert panel[24, 32, 0] > panel[8, 8, 0]
+
+
+def test_mask_pack_roundtrip():
+    """Sparse mask transfer encoding: bitmap + compacted values must
+    reconstruct the dense mask exactly; frames whose hole count
+    exceeds the cap are flagged via count."""
+    rng = np.random.default_rng(7)
+    h, w = 40, 56  # w divisible by 8
+    mask = np.zeros((2, h, w, 3), np.uint8)
+    hole0 = rng.random((h, w)) < 0.08
+    mask[0][hole0] = rng.integers(1, 255, (hole0.sum(), 3))
+    hole1 = rng.random((h, w)) < 0.6  # overflows H*W//5 cap
+    mask[1][hole1] = rng.integers(1, 255, (hole1.sum(), 3))
+    packed = {k: np.asarray(v) for k, v in
+              stereo._pack_mask_batch(jnp.asarray(mask)).items()}
+    cap = (h * w) // stereo.MASK_PACK_FRAC
+    assert packed["mask_count"][0] == hole0.sum() <= cap
+    assert packed["mask_count"][1] == hole1.sum() > cap
+    rec = stereo._unpack_mask_frame(packed["mask_bits"][0],
+                                    packed["mask_vals"][0],
+                                    int(packed["mask_count"][0]), h, w)
+    np.testing.assert_array_equal(rec, mask[0])
 
 
 def test_smooth_convergence_handles_nans():

@@ -394,6 +394,109 @@ def convert_moge(state_dict, cfg):
     }}
 
 
+def _vit_block_params(sd, prefix):
+    """One DINOv2-style transformer block (norm1, attn.qkv/proj,
+    ls1/ls2.gamma, norm2, mlp.fc1/fc2) -> models.vit.Block params."""
+    return {
+        "norm1": layernorm(sd, f"{prefix}.norm1"),
+        "attn": {"qkv": linear(sd, f"{prefix}.attn.qkv"),
+                 "proj": linear(sd, f"{prefix}.attn.proj")},
+        "ls1": {"gamma": _t(sd[f"{prefix}.ls1.gamma"])},
+        "norm2": layernorm(sd, f"{prefix}.norm2"),
+        "mlp": {"fc1": linear(sd, f"{prefix}.mlp.fc1"),
+                "fc2": linear(sd, f"{prefix}.mlp.fc2")},
+        "ls2": {"gamma": _t(sd[f"{prefix}.ls2.gamma"])},
+    }
+
+
+def _token_decoder(sd, cfg, num_blocks, with_rays):
+    """UniDepth/UniK3D token decoder (projects.N [+ ray_mlp1/2] +
+    blocks.N) -> models.unidepth.TokenDecoder params. ``sd`` is the
+    torch sub-dict rooted at the decoder (e.g. 'depth.')."""
+    p = {f"project{i}": linear(sd, f"projects.{i}") for i in range(4)}
+    if with_rays:
+        p["ray_mlp1"] = linear(sd, "ray_mlp1")
+        p["ray_mlp2"] = linear(sd, "ray_mlp2")
+    for i in range(num_blocks):
+        p[f"block{i}"] = _vit_block_params(sd, f"blocks.{i}")
+    return p
+
+
+def _pixel_head(sd, cfg):
+    """UniDepth/UniK3D pixel head (upsampleN/upconvN + out_conv1/2) ->
+    models.unidepth.PixelHead params."""
+    p = {}
+    for i in range(len(cfg.dim_upsample)):
+        p[f"upsample{i}"] = conv_transpose(sd, f"upsample{i}")
+        p[f"upconv{i}"] = conv(sd, f"upconv{i}")
+    p["out_conv1"] = conv(sd, "out_conv1")
+    p["out_conv2"] = conv(sd, "out_conv2")
+    return p
+
+
+def _sub(state_dict, prefix):
+    return {k[len(prefix):]: v for k, v in state_dict.items()
+            if k.startswith(prefix)}
+
+
+def convert_unidepth(state_dict, cfg):
+    """UniDepth-V2 class checkpoint (reference unidepth_video.py:14,
+    lpiccinelli/unidepth-v2-vitl14 family) -> our
+    models.unidepth.UniDepthNet params.
+
+    Layout (documented in models/unidepth.py): backbone.* DINOv2 keys;
+    camera.{in_proj, queries, q/k/v/out_proj, mlp1, mlp2} attention-
+    pooled pinhole head; depth.{projects.N, ray_mlp1/2, blocks.N,
+    upsampleN/upconvN, out_conv1/2}. Forward equivalence vs a torch
+    mirror: tests/test_weight_exact_unidepth.py.
+    """
+    cam = _sub(state_dict, "camera.")
+    camera = {
+        "in_proj": linear(cam, "in_proj"),
+        "queries": _t(cam["queries"]),
+        "q_proj": linear(cam, "q_proj"),
+        "k_proj": linear(cam, "k_proj"),
+        "v_proj": linear(cam, "v_proj"),
+        "out_proj": linear(cam, "out_proj"),
+        "mlp1": linear(cam, "mlp1"),
+        "mlp2": linear(cam, "mlp2"),
+    }
+    dep = _sub(state_dict, "depth.")
+    return {"params": {
+        "backbone": convert_dinov2_vit(_sub(state_dict, "backbone."),
+                                       cfg.vit),
+        "camera": camera,
+        "depth": {
+            "tokens": _token_decoder(dep, cfg, cfg.num_blocks, True),
+            "pixel": _pixel_head(dep, cfg),
+        },
+    }}
+
+
+def convert_unik3d(state_dict, cfg):
+    """UniK3D class checkpoint (reference unik3d_video.py:13,
+    lpiccinelli/unik3d-vitl family) -> our models.unidepth.UniK3DNet
+    params.
+
+    Layout (documented in models/unidepth.py): backbone.* DINOv2 keys;
+    angular.{projects.N, blocks.N, out} dense ray-field head;
+    radius.{projects.N, ray_mlp1/2, blocks.N, upsampleN/upconvN,
+    out_conv1/2} SH-ray-conditioned radial head. Forward equivalence vs
+    a torch mirror: tests/test_weight_exact_unidepth.py.
+    """
+    ang = _sub(state_dict, "angular.")
+    rad = _sub(state_dict, "radius.")
+    return {"params": {
+        "backbone": convert_dinov2_vit(_sub(state_dict, "backbone."),
+                                       cfg.vit),
+        "angular": _token_decoder(ang, cfg, cfg.num_angular_blocks,
+                                  False),
+        "angular_out": linear(ang, "out"),
+        "radius_tokens": _token_decoder(rad, cfg, cfg.num_blocks, True),
+        "radius_pixel": _pixel_head(rad, cfg),
+    }}
+
+
 def convert_da2(state_dict, vit_cfg):
     """Full Depth-Anything-V2 checkpoint -> our DepthAnything params
     ({'params': {'backbone': ..., 'head': ...}}). Use with
@@ -1155,6 +1258,12 @@ def convert_torch_file(path, kind, cfg=None):
     if kind == "moge":
         from metric_depth_video_toolbox_tpu.models import moge
         return convert_moge(sd, cfg or moge.MOGE_L)
+    if kind == "unidepth":
+        from metric_depth_video_toolbox_tpu.models import unidepth
+        return convert_unidepth(sd, cfg or unidepth.UNIDEPTH_L)
+    if kind == "unik3d":
+        from metric_depth_video_toolbox_tpu.models import unidepth
+        return convert_unik3d(sd, cfg or unidepth.UNIDEPTH_L)
     if kind in ("wan", "inspatio_world"):
         from metric_depth_video_toolbox_tpu.models import wan
         return convert_wan(sd, cfg or wan.WAN_1_3B)
@@ -1193,6 +1302,8 @@ WEIGHT_REGISTRY = {
         "depth_anything_v2_metric_hypersim_vitl.pth"]},
     "da3": {"kind": "da3", "files": ["da3nested-giant-large"]},
     "moge": {"kind": "moge", "files": ["moge-vitl"]},
+    "unidepth": {"kind": "unidepth", "files": ["unidepth-v2-vitl14"]},
+    "unik3d": {"kind": "unik3d", "files": ["unik3d-vitl"]},
     "inspatio_world": {"kind": "wan", "files": [
         "InSpatio-World-1.3B.safetensors"]},
     "raft": {"kind": "raft", "files": ["raft-large.pth"]},

@@ -225,7 +225,8 @@ class SingleFrameEngine:
     def __init__(self, size="vits", input_size=518, params=None,
                  max_depth=100.0, estimates_fov=False, rng_seed=0,
                  data_parallel=True, variant="da", xfov=None, yfov=None,
-                 depthpro_cfg=None, quantize=None, moge_cfg=None):
+                 depthpro_cfg=None, quantize=None, moge_cfg=None,
+                 unidepth_cfg=None):
         self.variant = variant
         self.xfov = xfov
         self.yfov = yfov
@@ -239,6 +240,7 @@ class SingleFrameEngine:
         # stand-in with a focal head below keeps the contract
         self._depthpro_cfg = None
         self._moge_cfg = None
+        self._unidepth_cfg = None
         if (variant == "depthpro" and params is not None
                 and "patch_encoder" in params.get("params", {})):
             from metric_depth_video_toolbox_tpu.models import depthpro \
@@ -278,6 +280,45 @@ class SingleFrameEngine:
                 self.cfg, point_head=True,
                 dpt=_dc.replace(self.cfg.dpt, n_out=4, head_act="none"))
             self.model = moge_mod.MoGeNet(self._moge_cfg)
+        elif (variant == "unidepth" and params is not None
+                and "camera" in params.get("params", {})):
+            # a converted lpiccinelli/unidepth-v2 checkpoint switches
+            # onto the real UniDepth-V2-class graph (models.unidepth,
+            # weight-exact): camera head + SH ray conditioning in the
+            # depth module. The mandatory --xfov provides the given-K
+            # rays, the upstream infer(rgb, K) path
+            # (unidepth_video.py:70-74).
+            from metric_depth_video_toolbox_tpu.models import unidepth \
+                as ud_mod
+            self._unidepth_cfg = unidepth_cfg or (
+                ud_mod.UNIDEPTH_TINY if size in ("vitt", "tiny")
+                else ud_mod.UNIDEPTH_L)
+            if quantize:
+                self._unidepth_cfg = _dc.replace(
+                    self._unidepth_cfg,
+                    vit=_dc.replace(self._unidepth_cfg.vit,
+                                    quant=quantize))
+            self.cfg = da.preset(size, metric=True, max_depth=max_depth)
+            self.model = ud_mod.UniDepthNet(self._unidepth_cfg)
+        elif (variant == "unik3d" and params is not None
+                and "angular" in params.get("params", {})):
+            # a converted lpiccinelli/unik3d checkpoint switches onto
+            # the real UniK3D-class graph (models.unidepth.UniK3DNet,
+            # weight-exact): dense angular field x radial distance ->
+            # metric points. Output honors the engine's point-head
+            # contract, so the per-frame focal refit below
+            # (unik3d_video.py:22-101) applies unchanged.
+            from metric_depth_video_toolbox_tpu.models import unidepth \
+                as ud_mod
+            ucfg = unidepth_cfg or (
+                ud_mod.UNIDEPTH_TINY if size in ("vitt", "tiny")
+                else ud_mod.UNIDEPTH_L)
+            if quantize:
+                ucfg = _dc.replace(
+                    ucfg, vit=_dc.replace(ucfg.vit, quant=quantize))
+            self.cfg = da.preset(size, metric=True, max_depth=max_depth)
+            self.cfg = _dc.replace(self.cfg, point_head=True)
+            self.model = ud_mod.UniK3DNet(ucfg)
         else:
             self.cfg = da.preset(size, metric=True, max_depth=max_depth)
             if variant == "unidepth" or (variant == "moge" and xfov):
@@ -341,10 +382,37 @@ class SingleFrameEngine:
             return jnp.minimum(d, max_depth), fov
         return step
 
+    def _unidepth_step(self, h, w, work_hw):
+        """Real UniDepth-V2 device step: given-K rays from the mandatory
+        user FOV condition the depth module (the upstream infer(rgb, K)
+        path, unidepth_video.py:70-74); metric depth out."""
+        cfg = self._unidepth_cfg
+        apply_fn = self._apply
+        max_depth = self.max_depth
+        patch = cfg.vit.patch_size
+        gh, gw = work_hw[0] // patch, work_hw[1] // patch
+        rays = jnp.asarray(da.patch_center_rays(self.xfov, gh, gw,
+                                                self.yfov))
+        xfov = float(self.xfov)
+
+        @jax.jit
+        def step(params, imgs_u8):
+            x = imgs_u8.astype(jnp.float32) / 255.0
+            x = jax.image.resize(
+                x, (x.shape[0], work_hw[0], work_hw[1], 3), "bilinear")
+            r = jnp.broadcast_to(rays, (x.shape[0], gh, gw, 3))
+            d, _conf, _cam4 = apply_fn(params, x, r)
+            d = jnp.clip(d, 0.0, max_depth)
+            d = jax.image.resize(d, (d.shape[0], h, w), "bilinear")
+            return d, jnp.full((d.shape[0],), xfov, jnp.float32)
+        return step
+
     def _step_fn(self, h, w, work_hw):
         """Variant-specific fused device step (shape-keyed by caller)."""
         if self._depthpro_cfg is not None:
             return self._depthpro_step(h, w)
+        if self._unidepth_cfg is not None:
+            return self._unidepth_step(h, w, work_hw)
         from metric_depth_video_toolbox_tpu.ops import geometry as geo
         cfg = self.cfg
         apply_fn = self._apply

@@ -266,6 +266,12 @@ def geometrycrafter_main(argv=None):
                         ".py xfov_file); the median FOV is used — the "
                         "point maps are median-z normalized, so "
                         "per-scene FOV drift is absorbed")
+    p.add_argument("--pmap_vae_checkpoint", type=str,
+                   help="converted point_map_vae checkpoint (reference "
+                        "geometrycrafter_video.py:311-317): dedicated "
+                        "point-map KL encoder + temporal decoder (xyz + "
+                        "valid mask) replaces the shared denoiser VAE "
+                        "for the point-map latents")
     _add_diffusion_model_flag(p)
     args = p.parse_args(argv)
     xfov = args.xfov
@@ -273,13 +279,18 @@ def geometrycrafter_main(argv=None):
         import numpy as np
         from metric_depth_video_toolbox_tpu.io import sidecar
         xfov = float(np.median(sidecar.load_xfovs(args.xfov_file)))
+    extra = _diffusion_extra(args)
+    if args.pmap_vae_checkpoint:
+        from metric_depth_video_toolbox_tpu.models import convert
+        extra["pmap_vae_params"] = convert.load_checkpoint(
+            args.pmap_vae_checkpoint)
     from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
     outs = dstage.run_batch(
         "geometrycrafter", args.color_video, max_depth=args.max_depth,
         max_frames=args.max_frames, xfov=xfov,
         reference_depth_video=args.depth_video,
         window=args.window, overlap=args.overlap, size=args.model_size,
-        **_diffusion_work_hw(args), **_diffusion_extra(args))
+        **_diffusion_work_hw(args), **extra)
     for o in outs:
         print(f"depth video saved: {o}")
     return outs

@@ -1283,6 +1283,9 @@ def convert_torch_file(path, kind, cfg=None):
         return convert_m2svid_sgm(sd, cfg)
     if kind == "svd_vae":
         return convert_svd_vae(sd, cfg)
+    if kind == "pmap_vae":
+        from metric_depth_video_toolbox_tpu.models import svd as svdm
+        return convert_svd_vae(sd, cfg or svdm.PMAP_VAE)
     if kind == "clip_vision":
         return convert_clip_vision(sd, cfg)
     if kind == "cotracker3":
@@ -1317,6 +1320,10 @@ WEIGHT_REGISTRY = {
     # pipeline.depth.{DepthCrafter,GeometryCrafter}Engine(cfg=SVDConfig())
     "depthcrafter": {"kind": "svd_unet", "files": ["DepthCrafter"]},
     "geometrycrafter": {"kind": "svd_unet", "files": ["GeometryCrafter"]},
+    # the dedicated point-map VAE (TencentARC/GeometryCrafter,
+    # subfolder point_map_vae — reference geometrycrafter_video.py:311)
+    "geometrycrafter_pmap_vae": {
+        "kind": "pmap_vae", "files": ["GeometryCrafter/point_map_vae"]},
     "u2net": {"kind": "u2net", "files": ["u2net.onnx"]},
     "cotracker3": {"kind": "cotracker3", "files": ["scaled_offline.pth"]},
     "depthpro": {"kind": "depthpro_hf", "files": ["DepthPro-hf"]},

@@ -32,6 +32,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -438,6 +439,11 @@ class SVDVAEConfig:
     block_out_channels: Sequence[int] = (128, 256, 512, 512)
     layers_per_block: int = 2
     latent_channels: int = 4
+    # decoder output channels: 3 for RGB; 4 for GeometryCrafter's
+    # point-map VAE (xyz + valid-mask logit — reference
+    # geometrycrafter_video.py:311-317 PMapAutoencoderKLTemporalDecoder,
+    # whose pipe returns (point_maps, valid_masks))
+    out_channels: int = 3
     scaling_factor: float = 0.18215
     dtype: str = "bfloat16"
 
@@ -448,6 +454,35 @@ class SVDVAEConfig:
 
 SVD_VAE_TINY = SVDVAEConfig(block_out_channels=(32, 64),
                             layers_per_block=1, dtype="float32")
+
+# GeometryCrafter point-map VAE: same KL-encoder / temporal-decoder
+# graph trained on point maps; decodes xyz + a valid-mask logit. The
+# tiny preset keeps the production 8x spatial factor so its latents
+# align with every denoiser VAE (models.diffusion.VAE is fixed 8x).
+PMAP_VAE = SVDVAEConfig(out_channels=4)
+PMAP_VAE_TINY = SVDVAEConfig(block_out_channels=(32, 32, 32, 64),
+                             layers_per_block=1, dtype="float32",
+                             out_channels=4)
+
+
+def vae_config_from_params(params, dtype="bfloat16"):
+    """Infer an SVDVAEConfig from a converted VAE param tree
+    ({'encoder': {'params': ...}, 'decoder': {'params': ...}}), so a
+    checkpoint is self-describing (level count, widths, layers per
+    block, latent and output channels all come from the tensors)."""
+    enc = params["encoder"]["params"]
+    dec = params["decoder"]["params"]
+    n = 1 + max(int(k[4:].split("_")[0]) for k in enc
+                if k.startswith("down"))
+    layers = sum(1 for k in enc if k.startswith("down0_res"))
+    chans = tuple(
+        int(np.asarray(enc[f"down{i}_res0"]["conv1"]["kernel"]).shape[-1])
+        for i in range(n))
+    latent = int(np.asarray(enc["quant_conv"]["kernel"]).shape[-1]) // 2
+    out_ch = int(np.asarray(dec["conv_out"]["kernel"]).shape[-1])
+    return SVDVAEConfig(block_out_channels=chans, layers_per_block=layers,
+                        latent_channels=latent, out_channels=out_ch,
+                        dtype=dtype)
 
 
 class VAEAttention(nn.Module):
@@ -535,9 +570,9 @@ class SVDVAEDecoder(nn.Module):
                             name=f"up{oi}_upconv")(h)
         h = nn.GroupNorm(32, epsilon=1e-6, dtype=jnp.float32,
                          name="conv_norm_out")(h)
-        h = nn.Conv(3, (3, 3), dtype=jnp.float32,
+        h = nn.Conv(cfg.out_channels, (3, 3), dtype=jnp.float32,
                     name="conv_out")(nn.silu(h))
-        h = nn.Conv(3, (3, 1, 1), dtype=jnp.float32,
+        h = nn.Conv(cfg.out_channels, (3, 1, 1), dtype=jnp.float32,
                     name="time_conv_out")(h[None])[0]
         return h
 

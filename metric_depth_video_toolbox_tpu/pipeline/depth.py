@@ -771,7 +771,8 @@ class GeometryCrafterEngine:
 
     def __init__(self, cfg=None, params=None, window=110, overlap=5,
                  work_hw=(384, 640), rng_seed=0, max_depth=100.0,
-                 xfov=60.0, vae_cfg=None, **_):
+                 xfov=60.0, vae_cfg=None, pmap_vae_params=None,
+                 pmap_vae_cfg=None, **_):
         from metric_depth_video_toolbox_tpu.models import diffusion as dif
         self.dif = dif
         self.cfg, self.model = _build_denoiser(cfg, vae_cfg)
@@ -782,6 +783,20 @@ class GeometryCrafterEngine:
         self.xfov = xfov or 60.0
         self._params = params
         self._rng = jax.random.PRNGKey(rng_seed)
+        # dedicated point-map VAE (reference geometrycrafter_video.py:
+        # 311-317 PMapAutoencoderKLTemporalDecoder, 'point_map_vae'
+        # subfolder): encodes the prior point maps and decodes the
+        # refined latent to xyz + a valid-mask logit. Without converted
+        # weights the shared denoiser VAE stands in (both paths keep
+        # the same conditioning layout).
+        self._pmap_enc = self._pmap_dec = None
+        self._pmap_params = pmap_vae_params
+        if pmap_vae_params is not None:
+            from metric_depth_video_toolbox_tpu.models import svd as svdm
+            pcfg = pmap_vae_cfg or svdm.vae_config_from_params(
+                pmap_vae_params)
+            self._pmap_enc = svdm.SVDVAEEncoder(pcfg)
+            self._pmap_dec = svdm.SVDVAEDecoder(pcfg)
 
     def infer_window(self, frames_u8, prior_depth):
         from metric_depth_video_toolbox_tpu.ops import geometry as geo
@@ -794,7 +809,7 @@ class GeometryCrafterEngine:
         key = (t, h, w)
         if key not in cache:
             @jax.jit
-            def run(params, rng, f_u8, prior):
+            def run(params, pparams, rng, f_u8, prior):
                 f = f_u8.astype(jnp.float32) / 255.0
                 fw = jax.image.resize(f, (t, wh, ww, 3), "bilinear")
                 # prior depth -> point maps at working res
@@ -807,8 +822,14 @@ class GeometryCrafterEngine:
                 pmap = pts / jnp.maximum(scale, 1e-3)
                 rgb_lat = self.model.apply(params, fw,
                                            method=self.model.encode)
-                pmap_lat = self.model.apply(params, pmap,
-                                            method=self.model.encode)
+                if self._pmap_enc is not None:
+                    # dedicated point-map VAE path: its encoder sees the
+                    # normalized point map in [-1,1]-style range
+                    pmap_lat = self._pmap_enc.apply(
+                        {"params": pparams["encoder"]["params"]}, pmap)
+                else:
+                    pmap_lat = self.model.apply(params, pmap,
+                                                method=self.model.encode)
                 # cond channel layout matches the inpainter init path
                 # (latent + mask + second latent); the mask slot is 0 —
                 # the stabilizer conditions on the full frame
@@ -819,8 +840,17 @@ class GeometryCrafterEngine:
                     lambda p, zz, s, c: self.model.apply(
                         p, zz, s, c, method=self.model.denoise),
                     params, rng, rgb_lat.shape, self.cfg, cond)
-                out = self.model.apply(params, z,
-                                       method=self.model.decode)
+                if self._pmap_dec is not None:
+                    # temporal decode to xyz + valid-mask logit; depth is
+                    # the Z channel, the mask rides back to the caller's
+                    # contract only as upstream does (the reference
+                    # wrapper discards valid_masks,
+                    # geometrycrafter_video.py:401-418)
+                    out = self._pmap_dec.apply(
+                        {"params": pparams["decoder"]["params"]}, z)
+                else:
+                    out = self.model.apply(params, z,
+                                           method=self.model.decode)
                 # Z channel of the refined point map -> depth (:418)
                 zd = out[..., 2] * jnp.maximum(scale, 1e-3)
                 return jax.image.resize(zd, (t, h, w), "bilinear")
@@ -833,7 +863,8 @@ class GeometryCrafterEngine:
             # the UNet's cond convs get the right channel count
             self._params = jax.jit(self.model.init)(self._rng, f, m, f)
         self._rng, sub = jax.random.split(self._rng)
-        return robust_call(cache[key], self._params, sub,
+        return robust_call(cache[key], self._params,
+                           self._pmap_params or {}, sub,
                            jnp.asarray(frames_u8),
                            jnp.asarray(prior_depth))
 

@@ -545,8 +545,10 @@ class TTemporalDecoder(tnn.Module):
                 prev, chans[i], cfg.layers_per_block + 1, up=i > 0))
             prev = chans[i]
         self.conv_norm_out = tnn.GroupNorm(32, chans[0], 1e-6)
-        self.conv_out = tnn.Conv2d(chans[0], 3, 3, padding=1)
-        self.time_conv_out = tnn.Conv3d(3, 3, (3, 1, 1), padding=(1, 0, 0))
+        oc = cfg.out_channels
+        self.conv_out = tnn.Conv2d(chans[0], oc, 3, padding=1)
+        self.time_conv_out = tnn.Conv3d(oc, oc, (3, 1, 1),
+                                        padding=(1, 0, 0))
 
     def forward(self, z, nf):
         h = self.conv_in(z)
@@ -597,6 +599,58 @@ def test_svd_vae_forward_equivalence():
     out_np = np.asarray(out).transpose(0, 3, 1, 2)
     assert np.max(np.abs(out_np - dec_ref)) < 2e-4, \
         np.max(np.abs(out_np - dec_ref))
+
+
+def test_pmap_vae_forward_equivalence():
+    """GeometryCrafter point-map VAE (PMapAutoencoderKLTemporalDecoder
+    role, reference geometrycrafter_video.py:311-317): same KL encoder /
+    temporal decoder graph with a 4-channel decode (xyz + valid-mask
+    logit) — converted weights reproduce the torch mirror."""
+    cfg = svd.PMAP_VAE_TINY
+    torch.manual_seed(4)
+    tm = TVAE(cfg).eval()
+    rng = np.random.default_rng(6)
+    f, hh, ww = 3, 16, 16
+    pmap = rng.uniform(-1, 1, (f, 3, hh, ww)).astype(np.float32)
+
+    with torch.no_grad():
+        moments = tm.quant_conv(tm.encoder(torch.from_numpy(pmap)))
+        lat_ref = moments[:, :cfg.latent_channels].numpy() \
+            * cfg.scaling_factor
+        dec_ref = tm.decoder(
+            torch.from_numpy(lat_ref / cfg.scaling_factor), f).numpy()
+    assert dec_ref.shape[1] == 4
+
+    params = convert.convert_svd_vae(_sd(tm), cfg)
+    lat = svd.SVDVAEEncoder(cfg).apply(
+        {"params": params["encoder"]["params"]},
+        jnp.asarray(pmap.transpose(0, 2, 3, 1)))
+    assert np.max(np.abs(np.asarray(lat).transpose(0, 3, 1, 2)
+                         - lat_ref)) < 2e-4
+    out = svd.SVDVAEDecoder(cfg).apply(
+        {"params": params["decoder"]["params"]},
+        jnp.asarray(lat_ref.transpose(0, 2, 3, 1)))
+    assert np.max(np.abs(np.asarray(out).transpose(0, 3, 1, 2)
+                         - dec_ref)) < 2e-4
+
+
+def test_geometrycrafter_engine_pmap_vae_path():
+    """A converted point-map VAE switches GeometryCrafterEngine onto the
+    dedicated encode/decode path (pipeline/depth.py) end to end."""
+    from metric_depth_video_toolbox_tpu.pipeline import depth as dp
+    cfg = svd.PMAP_VAE_TINY
+    torch.manual_seed(5)
+    pparams = convert.convert_svd_vae(_sd(TVAE(cfg).eval()), cfg)
+    eng = dp.GeometryCrafterEngine(
+        window=4, overlap=0, work_hw=(16, 16), max_depth=20.0,
+        pmap_vae_params=pparams, pmap_vae_cfg=cfg)
+    assert eng._pmap_enc is not None
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 255, (4, 24, 24, 3), np.uint8)
+    prior = rng.uniform(1.0, 5.0, (4, 24, 24)).astype(np.float32)
+    d = eng.infer_video(frames, prior)
+    assert d.shape == (4, 24, 24) and np.isfinite(d).all()
+    assert (d >= 0).all() and (d <= 20.0).all()
 
 
 def test_stereocrafter_engine_end_to_end():

@@ -22,6 +22,21 @@ def build_parser(parser=None):
     p.add_argument("--optimize_intrinsic", action="store_true")
     p.add_argument("--ba_iters", default=10, type=int)
     p.add_argument("--save_motion_video", action="store_true")
+    p.add_argument("--checkpoint", type=str,
+                   help="converted megasam/droid checkpoint "
+                        "(models.convert convert_droid): switches onto "
+                        "the learned DROID-class front-end — "
+                        "correlation volumes + trained ConvGRU update "
+                        "+ pose DBA (reference sam_track_video.py:"
+                        "169-206); without one the classical LK+GN "
+                        "global BA runs")
+    p.add_argument("--droid_window", default=12, type=int,
+                   help="frame-graph window for the learned front-end")
+    p.add_argument("--droid_iters", default=6, type=int,
+                   help="learned update iterations per window")
+    p.add_argument("--droid_work_long", default=336, type=int,
+                   help="long side of the front-end working resolution "
+                        "(features run at 1/8 of this)")
     return p
 
 
@@ -29,6 +44,18 @@ def run(args):
     from metric_depth_video_toolbox_tpu.pipeline import slam
     if args.xfov is None and args.yfov is None:
         raise SystemExit("--xfov or --yfov is required")
+    if args.checkpoint:
+        from metric_depth_video_toolbox_tpu.models import convert
+        out, res = slam.droid_track_video(
+            args.color_video, args.depth_video,
+            params=convert.load_checkpoint(args.checkpoint),
+            xfov=args.xfov, yfov=args.yfov, max_depth=args.max_depth,
+            max_frames=args.max_frames, window=args.droid_window,
+            iters=args.droid_iters, work_long=args.droid_work_long,
+            mask_video=args.mask_video)
+        print(f"transformations saved: {out} "
+              f"(mean flow residual {res:.2f} px)")
+        return out
     out, res = slam.slam_track_video(
         args.color_video, args.depth_video, xfov=args.xfov, yfov=args.yfov,
         max_depth=args.max_depth, max_frames=args.max_frames,

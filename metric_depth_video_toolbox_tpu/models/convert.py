@@ -497,6 +497,62 @@ def convert_unik3d(state_dict, cfg):
     }}
 
 
+def convert_droid(state_dict, cfg=None):
+    """DROID-SLAM class checkpoint (the reference's Mega-SAM tracker
+    net, sam_track_video.py:171 ``megasam_final.pth``) -> our
+    models.droid.DroidNet params.
+
+    Layout (documented in models/droid.py; the DataParallel ``module.``
+    prefix is stripped): fnet./cnet. BasicEncoders (conv1,
+    layerL.N.{conv1, conv2, downsample.0}, conv2 — InstanceNorm2d is
+    affine-free so no norm tensors), update.{corr_encoder.0/.2,
+    flow_encoder.0/.2, gru.{convz, convr, convq, w, convz_glo,
+    convr_glo, convq_glo}, delta.0/.2, weight.0/.2, agg.{conv1, conv2,
+    eta.0, upmask.0}}. Forward equivalence vs a torch mirror:
+    tests/test_weight_exact_droid.py. Extra tensors (e.g. Mega-SAM's
+    motion-probability head) are ignored.
+    """
+    from metric_depth_video_toolbox_tpu.models import droid as droid_mod
+    cfg = cfg or droid_mod.DROID
+    sd = {(k[len("module."):] if k.startswith("module.") else k): v
+          for k, v in state_dict.items()}
+
+    def encoder(prefix):
+        p = {"conv1": conv(sd, prefix + "conv1"),
+             "conv2": conv(sd, prefix + "conv2")}
+        for li in range(len(cfg.layers)):
+            for ni in range(2):
+                tb = f"{prefix}layer{li + 1}.{ni}"
+                blk = {"conv1": conv(sd, tb + ".conv1"),
+                       "conv2": conv(sd, tb + ".conv2")}
+                if tb + ".downsample.0.weight" in sd:
+                    blk["downsample"] = conv(sd, tb + ".downsample.0")
+                p[f"layer{li + 1}_{ni}"] = blk
+        return p
+
+    u = "update."
+    upd = {
+        "corr_enc1": conv(sd, u + "corr_encoder.0"),
+        "corr_enc2": conv(sd, u + "corr_encoder.2"),
+        "flow_enc1": conv(sd, u + "flow_encoder.0"),
+        "flow_enc2": conv(sd, u + "flow_encoder.2"),
+        "gru": {n: conv(sd, f"{u}gru.{n}") for n in
+                ("convz", "convr", "convq", "w",
+                 "convz_glo", "convr_glo", "convq_glo")},
+        "delta1": conv(sd, u + "delta.0"),
+        "delta2": conv(sd, u + "delta.2"),
+        "weight1": conv(sd, u + "weight.0"),
+        "weight2": conv(sd, u + "weight.2"),
+        "agg_conv1": conv(sd, u + "agg.conv1"),
+        "agg_conv2": conv(sd, u + "agg.conv2"),
+        "agg_eta": conv(sd, u + "agg.eta.0"),
+        "agg_upmask": conv(sd, u + "agg.upmask.0"),
+    }
+    return {"params": {"fnet": encoder("fnet."),
+                       "cnet": encoder("cnet."),
+                       "update": upd}}
+
+
 def convert_da2(state_dict, vit_cfg):
     """Full Depth-Anything-V2 checkpoint -> our DepthAnything params
     ({'params': {'backbone': ..., 'head': ...}}). Use with
@@ -1264,6 +1320,8 @@ def convert_torch_file(path, kind, cfg=None):
     if kind == "unik3d":
         from metric_depth_video_toolbox_tpu.models import unidepth
         return convert_unik3d(sd, cfg or unidepth.UNIDEPTH_L)
+    if kind in ("droid", "megasam"):
+        return convert_droid(sd, cfg)
     if kind in ("wan", "inspatio_world"):
         from metric_depth_video_toolbox_tpu.models import wan
         return convert_wan(sd, cfg or wan.WAN_1_3B)
@@ -1326,6 +1384,8 @@ WEIGHT_REGISTRY = {
         "kind": "pmap_vae", "files": ["GeometryCrafter/point_map_vae"]},
     "u2net": {"kind": "u2net", "files": ["u2net.onnx"]},
     "cotracker3": {"kind": "cotracker3", "files": ["scaled_offline.pth"]},
+    # the Mega-SAM tracker net (reference sam_track_video.py:171)
+    "megasam": {"kind": "droid", "files": ["megasam_final.pth"]},
     "depthpro": {"kind": "depthpro_hf", "files": ["DepthPro-hf"]},
     "clip_vith": {"kind": "clip_vision", "files": [
         "CLIP-ViT-H-14-laion2B-s32B-b79K"]},

@@ -348,6 +348,270 @@ def slam_track_video(color_video, depth_video, xfov=None, yfov=None,
     return output, float(mean_res)
 
 
+# --- learned (DROID-class) front-end ---------------------------------------
+
+
+def _window_edges(w, radius):
+    ii, jj = [], []
+    for i in range(w):
+        for j in range(max(0, i - radius), min(w, i + radius + 1)):
+            if i != j:
+                ii.append(i)
+                jj.append(j)
+    return np.asarray(ii, np.int32), np.asarray(jj, np.int32)
+
+
+def _build_window_solver(model, cfg, k8, w_frames, h8, w8, iters,
+                         gn_inner, radius):
+    """One jitted program: correlation pyramids over the window's frame
+    graph, ``iters`` learned update steps (GRU -> flow revision +
+    confidence), each followed by ``gn_inner`` pose Gauss-Newton steps
+    accumulating per-edge normal equations into a (6W, 6W) system —
+    the DBA structure with poses only (metric depth is given, as in the
+    reference's Mega-SAM feed, sam_track_video.py:190)."""
+    from metric_depth_video_toolbox_tpu.models import droid as droid_mod
+    ii, jj = _window_edges(w_frames, radius)
+    ii_j = jnp.asarray(ii)
+    n_e = len(ii)
+    p_pix = h8 * w8
+    fx, fy, cx, cy = k8[0, 0], k8[1, 1], k8[0, 2], k8[1, 2]
+    xs = (np.arange(w8, dtype=np.float32) + 0.0)
+    ys = (np.arange(h8, dtype=np.float32) + 0.0)
+    grid = np.stack(np.meshgrid(xs, ys), axis=-1)  # (h8, w8, 2) x,y
+
+    def unproject(d):  # (h8, w8) -> (h8, w8, 3) cam points
+        x = (grid[..., 0] - cx) / fx * d
+        y = (grid[..., 1] - cy) / fy * d
+        return jnp.stack([x, y, d], axis=-1)
+
+    def proj(pts):  # (..., 3) -> (..., 2)
+        z = jnp.maximum(pts[..., 2], 1e-4)
+        return jnp.stack([fx * pts[..., 0] / z + cx,
+                          fy * pts[..., 1] / z + cy], axis=-1)
+
+    def induced(rot, tr, pts_cam):
+        """Current w2c (W,3,3),(W,3) + per-frame cam points ->
+        per-edge target coords + target-frame depth."""
+        xw = jnp.einsum("ephc,ecd->ephd",
+                        pts_cam[ii] - tr[ii][:, None, None],
+                        rot[ii])  # R_i^T (X - t_i), rows as (..,3)@R
+        xj = jnp.einsum("ephc,edc->ephd", xw, rot[jj]) \
+            + tr[jj][:, None, None]
+        return proj(xj), xj[..., 2]
+
+    def edge_res(xi, ri0, ti0, rj0, tj0, pts, tgt):
+        """(12,) se3 increments on poses i, j -> (P*2,) residuals."""
+        dri = solvers._so3_exp(xi[:3])
+        drj = solvers._so3_exp(xi[6:9])
+        ri = dri @ ri0
+        tci = dri @ ti0 + xi[3:6]
+        rj = drj @ rj0
+        tcj = drj @ tj0 + xi[9:12]
+        xw = (pts.reshape(-1, 3) - tci) @ ri
+        xj = xw @ rj.T + tcj
+        return (proj(xj) - tgt.reshape(-1, 2)).reshape(-1)
+
+    res_and_jac = jax.vmap(
+        lambda *a: (edge_res(*a),
+                    jax.jacfwd(edge_res)(*a)))
+
+    rows6 = np.arange(6, dtype=np.int32)
+
+    def gn_step(rot, tr, pts_cam, target, wgt, eta):
+        zero = jnp.zeros((n_e, 12), jnp.float32)
+        r, j = res_and_jac(zero, rot[ii], tr[ii], rot[jj], tr[jj],
+                           pts_cam[ii], target)
+        w_flat = wgt.reshape(n_e, p_pix * 2)
+        h_e = jnp.einsum("epk,ep,epl->ekl", j, w_flat, j)
+        b_e = jnp.einsum("epk,ep->ek", j, w_flat * r)
+        hdim = 6 * w_frames
+        big_h = jnp.zeros((hdim, hdim), jnp.float32)
+        big_b = jnp.zeros((hdim,), jnp.float32)
+        idx_i = 6 * ii[:, None] + rows6[None]
+        idx_j = 6 * jj[:, None] + rows6[None]
+        big_h = big_h.at[idx_i[:, :, None], idx_i[:, None, :]].add(
+            h_e[:, :6, :6])
+        big_h = big_h.at[idx_i[:, :, None], idx_j[:, None, :]].add(
+            h_e[:, :6, 6:])
+        big_h = big_h.at[idx_j[:, :, None], idx_i[:, None, :]].add(
+            h_e[:, 6:, :6])
+        big_h = big_h.at[idx_j[:, :, None], idx_j[:, None, :]].add(
+            h_e[:, 6:, 6:])
+        big_b = big_b.at[idx_i].add(b_e[:, :6])
+        big_b = big_b.at[idx_j].add(b_e[:, 6:])
+        # damping: LM floor + the learned per-frame eta (DROID's agg
+        # damps the depth block; with fixed metric depth it rides the
+        # pose diagonal instead — documented deviation)
+        damp = 1e-4 + jnp.repeat(eta.mean(axis=(1, 2)), 6)
+        big_h = big_h + jnp.diag(damp) \
+            + 1e-6 * jnp.eye(hdim, dtype=jnp.float32)
+        # gauge: freeze frame 0
+        big_h = big_h.at[:6].set(0.0).at[:, :6].set(0.0)
+        big_h = big_h.at[rows6, rows6].set(1.0)
+        big_b = big_b.at[:6].set(0.0)
+        delta = jnp.linalg.solve(big_h, -big_b).reshape(w_frames, 6)
+        drot = jax.vmap(solvers._so3_exp)(delta[:, :3])
+        rot = jnp.einsum("wab,wbc->wac", drot, rot)
+        tr = jnp.einsum("wab,wb->wa", drot, tr) + delta[:, 3:]
+        return rot, tr
+
+    @jax.jit
+    def solve(params, fmap, net0, inp0, depth8, wmask8):
+        pyr = droid_mod.corr_pyramid(fmap[ii], fmap[jj],
+                                     cfg.corr_levels)
+        net = net0[ii]
+        inp = inp0[ii]
+        pts_cam = jax.vmap(unproject)(depth8)
+        rot = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
+                               (w_frames, 3, 3))
+        tr = jnp.zeros((w_frames, 3), jnp.float32)
+        coords1, _ = induced(rot, tr, pts_cam)
+        target = coords1
+        g = jnp.asarray(grid)
+        eta = jnp.zeros((w_frames, h8, w8), jnp.float32)
+        for _ in range(iters):
+            coords1, zj = induced(rot, tr, pts_cam)
+            corr = droid_mod.corr_lookup(pyr, coords1, cfg.corr_radius)
+            flow_in = jnp.concatenate(
+                [coords1 - g[None], target - coords1], axis=-1)
+            net, delta, weight, eta, _ = model.apply(
+                params, net, inp, corr, flow_in, ii_j, w_frames,
+                method=lambda m, *a: m.update(*a))
+            target = coords1 + delta
+            ok = ((zj > 1e-3)
+                  & (target[..., 0] >= 0) & (target[..., 0] <= w8 - 1)
+                  & (target[..., 1] >= 0) & (target[..., 1] <= h8 - 1)
+                  & (depth8[ii] > 1e-3))
+            wgt = weight * (ok & (wmask8[ii] > 0.5))[..., None]
+            for _ in range(gn_inner):
+                rot, tr = gn_step(rot, tr, pts_cam, target, wgt, eta)
+        coords1, _ = induced(rot, tr, pts_cam)
+        resid = jnp.sqrt(jnp.sum((coords1 - target) ** 2, axis=-1))
+        wsum = jnp.maximum(wgt.mean(axis=-1).sum(), 1.0)
+        mean_res = (resid * wgt.mean(axis=-1)).sum() / wsum
+        return rot, tr, mean_res
+    return solve
+
+
+def droid_track_video(color_video, depth_video, params=None, cfg=None,
+                      xfov=None, yfov=None, max_depth=100.0,
+                      max_frames=-1, output=None, window=12, radius=2,
+                      iters=6, gn_inner=2, work_long=336,
+                      mask_video=None, rng_seed=0, batch=8):
+    """Learned (DROID-class) camera tracking: correlation volumes + the
+    trained ConvGRU update operator + pose DBA — the reference's
+    Mega-SAM path (sam_track_video.py:169-206) as one jitted window
+    program, with identity-init poses and SE3 chaining across windows
+    (overlap 1). ``params``: a converted megasam/droid checkpoint
+    (models.convert.convert_droid); without one the same graph runs
+    random-init (tests). Returns (transformations_path, mean_residual).
+    """
+    from metric_depth_video_toolbox_tpu.models import droid as droid_mod
+
+    cfg = cfg or (droid_mod.config_from_params(params)
+                  if params is not None else droid_mod.DROID_TINY)
+    model = droid_mod.DroidNet(cfg)
+
+    frames, _fps = vio.read_video_frames(color_video,
+                                         max_frames=max_frames)
+    t_total = frames.shape[0]
+    dv = vio.DepthVideoReader(depth_video, max_depth)
+    depth = dv.read_depth_batch(t_total)
+    dv.close()
+    t_total = min(t_total, depth.shape[0])
+    frames, depth = frames[:t_total], depth[:t_total]
+    h, w = frames.shape[1:3]
+
+    scale = work_long / max(h, w)
+    wh = max(16, int(round(h * scale / 16)) * 16)
+    ww = max(16, int(round(w * scale / 16)) * 16)
+    h8, w8 = wh // 8, ww // 8
+    k_full = np.asarray(geo.camera_matrix_from_fov(
+        w, h, xfov_deg=xfov, yfov_deg=yfov), np.float32)
+    k8 = k_full.copy()
+    k8[0] *= ww / w / 8.0
+    k8[1] *= wh / h / 8.0
+
+    if params is None:
+        params = model.init(jax.random.PRNGKey(rng_seed),
+                            jnp.zeros((1, wh, ww, 3)))
+
+    @jax.jit
+    def feat_step(p, imgs_u8):
+        x = imgs_u8.astype(jnp.float32) / 255.0
+        x = jax.image.resize(x, (x.shape[0], wh, ww, 3), "bilinear")
+        return model.apply(p, x, method=lambda m, im: m.features(im))
+
+    fmaps, nets, inps = [], [], []
+    for s in range(0, t_total, batch):
+        chunk = frames[s:s + batch]
+        n = chunk.shape[0]
+        if n < batch:
+            chunk = np.pad(chunk, ((0, batch - n),) + ((0, 0),) * 3,
+                           mode="edge")
+        fm, ne, ip = robust_call(feat_step, params, jnp.asarray(chunk))
+        fmaps.append(to_host(fm)[:n])
+        nets.append(to_host(ne)[:n])
+        inps.append(to_host(ip)[:n])
+    fmaps = np.concatenate(fmaps)
+    nets = np.concatenate(nets)
+    inps = np.concatenate(inps)
+
+    depth8 = np.asarray(jax.image.resize(
+        jnp.asarray(depth), (t_total, h8, w8), "bilinear"))
+    if mask_video:
+        mv = vio.VideoReader(mask_video, max_frames=max_frames)
+        wmask8 = np.ones((t_total, h8, w8), np.float32)
+        for fi in range(t_total):
+            m = mv.read_batch(1)
+            if m is None:
+                break
+            mm = np.asarray(jax.image.resize(
+                jnp.asarray(m[0][..., 0].astype(np.float32)),
+                (h8, w8), "bilinear"))
+            wmask8[fi] = (mm <= 127).astype(np.float32)
+        mv.close()
+    else:
+        wmask8 = np.ones((t_total, h8, w8), np.float32)
+
+    window = max(2, min(window, t_total))
+    solver_cache = {}
+    out_w2c = np.zeros((t_total, 4, 4), np.float32)
+    out_w2c[:] = np.eye(4, dtype=np.float32)
+    residuals = []
+    start = 0
+    base = np.eye(4, dtype=np.float32)  # w2c of the window's frame 0
+    while True:
+        end = min(start + window, t_total)
+        wlen = end - start
+        if wlen < 2:
+            break
+        if wlen not in solver_cache:
+            solver_cache[wlen] = _build_window_solver(
+                model, cfg, k8, wlen, h8, w8, iters, gn_inner, radius)
+        rot, tr, mres = robust_call(
+            solver_cache[wlen], params,
+            jnp.asarray(fmaps[start:end]), jnp.asarray(nets[start:end]),
+            jnp.asarray(inps[start:end]), jnp.asarray(depth8[start:end]),
+            jnp.asarray(wmask8[start:end]))
+        rot, tr = to_host(rot), to_host(tr)
+        residuals.append(float(mres))
+        for i in range(wlen):
+            m = np.eye(4, dtype=np.float32)
+            m[:3, :3] = rot[i]
+            m[:3, 3] = tr[i]
+            out_w2c[start + i] = m @ base  # local is relative to frame0
+        if end >= t_total:
+            break
+        base = out_w2c[end - 1].copy()  # overlap-1 chaining
+        start = end - 1
+
+    c2w = np.linalg.inv(out_w2c)
+    output = output or (depth_video + "_transformations.json")
+    sidecar.save_transformations(output, c2w)
+    return output, float(np.mean(residuals)) if residuals else 0.0
+
+
 def _log_so3(r):
     """Rotation matrix -> axis-angle (host, numpy)."""
     cos = np.clip((np.trace(r) - 1) / 2, -1, 1)

@@ -109,11 +109,19 @@ def _flash_attention(q, k, v, valid=None):
             jnp.pad(valid, (0, np_ - n))[None], (b, np_))
     seg = seg.astype(jnp.int32)
     sids = fa_mod.SegmentIds(q=seg, kv=seg)
-    # one q block per (batch, head) measures fastest at ViT-L token
-    # counts (34.6 vs 31.4 fps full-model with 1024); kv stays blocked
-    # at 512 (block_k_major must divide the padded length)
-    bs = fa_mod.BlockSizes(
-        block_q=min(4096, np_), block_k_major=512, block_k=512, block_b=1)
+    # block sizes: measured on v5e at the production ViT-L shape
+    # (32x16x2560x64): bq 1280 / bkm full / bk 1280 runs the
+    # attention+qkv subgraph 10% faster than bq full / bk 512 (22.7 vs
+    # 25.2 ms — bigger k blocks amortize the softmax renormalization
+    # VPU work, which dominates at head dim 64). Falls back to the
+    # bq-full/512 config when 1280 does not divide the padded length
+    # (block_q/block_k must divide it).
+    if np_ % 1280 == 0:
+        bs = fa_mod.BlockSizes(block_q=1280, block_k_major=np_,
+                               block_k=1280, block_b=1)
+    else:
+        bs = fa_mod.BlockSizes(block_q=min(4096, np_), block_k_major=512,
+                               block_k=512, block_b=1)
     out = fa_mod.flash_attention(
         to_bhnd(q), to_bhnd(k), to_bhnd(v), segment_ids=sids,
         causal=False, sm_scale=1.0 / float(hd) ** 0.5, block_sizes=bs)

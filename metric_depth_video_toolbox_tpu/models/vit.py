@@ -76,7 +76,7 @@ VIT_TINY = ViTConfig(embed_dim=64, depth=4, num_heads=4,
 PRESETS["vitt"] = VIT_TINY
 
 
-def _flash_attention(q, k, v, valid=None):
+def _flash_attention(q, k, v, valid=None, conservative=False):
     """Pallas TPU flash attention over (B, N, H, HD) bf16 tensors.
 
     Pads N to a 512 multiple and masks the padding with segment ids so
@@ -115,8 +115,11 @@ def _flash_attention(q, k, v, valid=None):
     # 25.2 ms — bigger k blocks amortize the softmax renormalization
     # VPU work, which dominates at head dim 64). Falls back to the
     # bq-full/512 config when 1280 does not divide the padded length
-    # (block_q/block_k must divide it).
-    if np_ % 1280 == 0:
+    # (block_q/block_k must divide it), and under int8 quantization
+    # (``conservative``): the int8 path's extra scoped-VMEM buffers
+    # pushed the 1280/full config 504 KB past the 16 MB budget at
+    # (32, 16, 2560, 64) — BENCH_r03 recorded NaN for the whole mode.
+    if np_ % 1280 == 0 and not conservative:
         bs = fa_mod.BlockSizes(block_q=1280, block_k_major=np_,
                                block_k=1280, block_b=1)
     else:
@@ -178,7 +181,8 @@ class Attention(nn.Module):
                      and d // c.num_heads >= 64
                      and c.dtype == "bfloat16")
         if use_flash:
-            out = _flash_attention(q, k, v, valid=valid)
+            out = _flash_attention(q, k, v, valid=valid,
+                                   conservative=c.quant == "int8")
         else:
             # fused XLA attention: still avoids the f32 score tensor;
             # mask pad KEYS out of the softmax when present (pad query

@@ -37,6 +37,11 @@ def build_parser(parser=None):
     p.add_argument("--droid_work_long", default=336, type=int,
                    help="long side of the front-end working resolution "
                         "(features run at 1/8 of this)")
+    p.add_argument("--no_global_ba", action="store_true",
+                   help="skip the final full-clip bundle adjustment "
+                        "after the learned front-end (the reference "
+                        "always runs droid.terminate(full_ba=True), "
+                        "sam_track_video.py:200-206)")
     return p
 
 
@@ -52,9 +57,10 @@ def run(args):
             xfov=args.xfov, yfov=args.yfov, max_depth=args.max_depth,
             max_frames=args.max_frames, window=args.droid_window,
             iters=args.droid_iters, work_long=args.droid_work_long,
-            mask_video=args.mask_video)
+            mask_video=args.mask_video,
+            global_ba=not args.no_global_ba, ba_iters=args.ba_iters)
         print(f"transformations saved: {out} "
-              f"(mean flow residual {res:.2f} px)")
+              f"(mean residual {res:.2f} px)")
         return out
     out, res = slam.slam_track_video(
         args.color_video, args.depth_video, xfov=args.xfov, yfov=args.yfov,

@@ -611,6 +611,20 @@ def convert_vda(state_dict, cfg):
     }}
 
 
+def _prompt_context(sd, cfg):
+    """Fixed prompt context for convert_wan: a precomputed umT5
+    encoding shipped with the checkpoint (key 'mdvt.prompt_context'),
+    zero-padded/truncated to (n_prompt_tokens, text_dim); zeros bank
+    when absent (ADVICE r3 #4)."""
+    ctx = sd.get("mdvt.prompt_context")
+    bank = np.zeros((cfg.n_prompt_tokens, cfg.text_dim), np.float32)
+    if ctx is not None:
+        ctx = np.asarray(_t(ctx), np.float32)
+        n = min(ctx.shape[0], cfg.n_prompt_tokens)
+        bank[:n] = ctx[:n, :cfg.text_dim]
+    return bank
+
+
 def convert_wan(state_dict, cfg):
     """Wan2.1-class causal video DiT checkpoint (the layout of
     InSpatio-World-1.3B.safetensors, reference
@@ -649,11 +663,16 @@ def convert_wan(state_dict, cfg):
         "time_projection": linear(sd, "time_projection.1"),
         "head": linear(sd, "head.head"),
         "head_modulation": _t(sd["head.modulation"]),
-        # stand-in for the reference's fixed umT5 prompt encoding: not
-        # in upstream checkpoints; zeros = deterministic neutral prompt
-        # (callers may pass any encoding via context=)
-        "prompt_tokens": np.zeros(
-            (cfg.n_prompt_tokens, cfg.text_dim), np.float32),
+        # the reference runs the DiT with a FIXED umT5 encoding of
+        # "The image shows a scene from a video"
+        # (inspatio_world_infill.py:~400, encode_text once at startup).
+        # Upstream checkpoints don't carry that tensor, so the converter
+        # accepts a precomputed encoding under the side-channel key
+        # 'mdvt.prompt_context' (shape (n_tok<=n_prompt_tokens,
+        # text_dim); produced once by running umT5 at conversion time
+        # and stored next to the weights). Fallback: a deterministic
+        # zeros bank — callers may also pass any encoding via context=.
+        "prompt_tokens": _prompt_context(sd, cfg),
     }
     for i in range(cfg.layers):
         b = f"blocks.{i}"

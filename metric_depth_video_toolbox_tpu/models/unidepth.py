@@ -311,10 +311,15 @@ class UniK3DNet(nn.Module):
         feats, _cls = vit_mod.ViT(c.vit, name="backbone")(images)
         ang = TokenDecoder(c, c.num_angular_blocks, False,
                            name="angular")(feats)
-        dirs = nn.Dense(3, dtype=jnp.float32, name="angular_out")(ang)
-        # bias toward forward-facing rays so the normalization is sane
-        # at init; checkpoints overwrite the geometry entirely
-        dirs = dirs + jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+        # bias INIT toward forward-facing rays so the normalization is
+        # sane at random init; the op graph itself matches upstream
+        # UniK3D (no constant offset), so converted lpiccinelli/unik3d
+        # checkpoints — whose bias replaces this init — reproduce the
+        # upstream ray field exactly (ADVICE r3 #2).
+        dirs = nn.Dense(
+            3, dtype=jnp.float32, name="angular_out",
+            bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                [0.0, 0.0, 1.0], dtype))(ang)
         patch_rays = dirs / jnp.linalg.norm(dirs, axis=-1,
                                             keepdims=True)
         x = TokenDecoder(c, c.num_blocks, True,

@@ -218,6 +218,7 @@ class CausalInfillEngine:
         self._rng = jax.random.PRNGKey(rng_seed)
         self._ref_cache = (None, None)  # (key, ref_latent)
         self._run_cache = {}
+        self._enc_run_cache = {}  # (t, tp) -> jitted ref encoder
         del data_parallel  # full-seq causal attention: single-chip v1
 
     def _t_pad(self, t):
@@ -252,14 +253,22 @@ class CausalInfillEngine:
         wh, ww = self.work_hw
         t = mono_u8.shape[0]
 
-        @jax.jit
-        def enc_run(params, m_u8):
-            m = m_u8.astype(jnp.float32) / 127.5 - 1.0
-            m = jax.image.resize(m, (1, t, wh, ww, 3), "bilinear")
-            m = jnp.concatenate(
-                [m, jnp.repeat(m[:, -1:], tp - t, axis=1)], axis=1) \
-                if tp > t else m
-            return self.enc.apply(params, m)
+        # shape-keyed jit cache: a fresh @jax.jit closure per call would
+        # recompile the VAE encoder (~100 s remote-compile) on every new
+        # chunk; same pattern as self._run_cache below
+        enc_run = self._enc_run_cache.get((t, tp))
+        if enc_run is None:
+            enc_apply = self.enc.apply
+
+            @jax.jit
+            def enc_run(params, m_u8):
+                m = m_u8.astype(jnp.float32) / 127.5 - 1.0
+                m = jax.image.resize(m, (1, t, wh, ww, 3), "bilinear")
+                m = jnp.concatenate(
+                    [m, jnp.repeat(m[:, -1:], tp - t, axis=1)], axis=1) \
+                    if tp > t else m
+                return enc_apply(params, m)
+            self._enc_run_cache[(t, tp)] = enc_run
         ref = robust_call(enc_run, self._params["enc"],
                           jnp.asarray(mono_u8)[None])
         self._ref_cache = (key, ref)

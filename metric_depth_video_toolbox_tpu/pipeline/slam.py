@@ -348,6 +348,70 @@ def slam_track_video(color_video, depth_video, xfov=None, yfov=None,
     return output, float(mean_res)
 
 
+def _global_ba_refine(color_video, depth, k, c2w_init, max_frames=-1,
+                      mask_video=None, ba_iters=10, max_tracks=512,
+                      grid=24):
+    """Final global BA over the whole clip — the role of the reference's
+    ``droid.terminate(full_ba=True)`` backend (sam_track_video.py:
+    200-206): LK tracks + depth-anchored Gauss-Newton jointly over ALL
+    poses, initialized from the windowed front-end's chained estimates
+    so cross-window drift is bounded globally instead of accumulating.
+
+    ``depth``: (T, H, W) metric depth already in host memory.
+    Returns (c2w (T, 4, 4), mean_reproj_err_px)."""
+    from metric_depth_video_toolbox_tpu.pipeline import tracking as track_mod
+
+    track_path = track_mod.track_video(color_video, grid=grid,
+                                       max_frames=max_frames)
+    frames_tr = sidecar.load_tracking(track_path)
+    dense, _ = sidecar.tracking_to_dense(frames_tr, max_tracks=max_tracks)
+    t_total = min(len(c2w_init), dense.shape[0], depth.shape[0])
+    dense = dense[:t_total]
+    c2w = np.asarray(c2w_init[:t_total], np.float32)
+    h, w = depth.shape[1:3]
+
+    xi = np.clip(np.round(dense[..., 0]).astype(int), 0, w - 1)
+    yi = np.clip(np.round(dense[..., 1]).astype(int), 0, h - 1)
+    depths_at = depth[np.arange(t_total)[:, None], yi, xi]
+
+    weights = motion_weights(dense, c2w, depths_at, k)
+    if mask_video:
+        mv = vio.VideoReader(mask_video, max_frames=max_frames)
+        masked_ever = np.zeros(dense.shape[1], bool)
+        for fi in range(t_total):
+            m = mv.read_batch(1)
+            if m is None:
+                break
+            gray = m[0][..., 0]
+            masked_ever |= ((dense[fi, :, 2] > 0)
+                            & (gray[yi[fi], xi[fi]] > 127))
+        mv.close()
+        weights = np.where(masked_ever, 0.0, weights)
+    valid = dense[..., 2] * weights[None, :]
+
+    first_idx = np.argmax(dense[..., 2] > 0, axis=0)
+    anchor_depth = np.maximum(
+        depths_at[first_idx, np.arange(dense.shape[1])], 1e-2)
+
+    w2c = np.linalg.inv(c2w)
+    rvecs0 = np.stack([_log_so3(w2c[i, :3, :3])
+                       for i in range(t_total)]).astype(np.float32)
+    tvecs0 = w2c[:, :3, 3].astype(np.float32)
+
+    rv, tv, _fs, _lz, mean_res = [to_host(x) for x in bundle_adjust(
+        jnp.asarray(dense[..., :2]), jnp.asarray(valid),
+        jnp.asarray(anchor_depth), jnp.asarray(k),
+        jnp.asarray(rvecs0), jnp.asarray(tvecs0), iters=ba_iters)]
+
+    out = np.zeros((t_total, 4, 4), np.float32)
+    for i in range(t_total):
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = np.asarray(solvers._so3_exp(jnp.asarray(rv[i])))
+        m[:3, 3] = tv[i]
+        out[i] = np.linalg.inv(m)
+    return out, float(mean_res)
+
+
 # --- learned (DROID-class) front-end ---------------------------------------
 
 
@@ -497,14 +561,21 @@ def droid_track_video(color_video, depth_video, params=None, cfg=None,
                       xfov=None, yfov=None, max_depth=100.0,
                       max_frames=-1, output=None, window=12, radius=2,
                       iters=6, gn_inner=2, work_long=336,
-                      mask_video=None, rng_seed=0, batch=8):
+                      mask_video=None, rng_seed=0, batch=8,
+                      global_ba=True, ba_iters=10):
     """Learned (DROID-class) camera tracking: correlation volumes + the
     trained ConvGRU update operator + pose DBA — the reference's
     Mega-SAM path (sam_track_video.py:169-206) as one jitted window
     program, with identity-init poses and SE3 chaining across windows
     (overlap 1). ``params``: a converted megasam/droid checkpoint
     (models.convert.convert_droid); without one the same graph runs
-    random-init (tests). Returns (transformations_path, mean_residual).
+    random-init (tests). ``global_ba``: finish with a full-clip bundle
+    adjustment over LK tracks initialized from the windowed poses —
+    the role of the reference's ``droid.terminate(full_ba=True)``
+    backend — so drift does not accumulate monotonically across
+    windows. Returns (transformations_path, mean_residual); with
+    ``global_ba`` the residual is the global mean reprojection error
+    in px (full-clip), otherwise the window-local flow residual.
     """
     from metric_depth_video_toolbox_tpu.models import droid as droid_mod
 
@@ -607,9 +678,16 @@ def droid_track_video(color_video, depth_video, params=None, cfg=None,
         start = end - 1
 
     c2w = np.linalg.inv(out_w2c)
+    mean_res = float(np.mean(residuals)) if residuals else 0.0
+    if global_ba and t_total >= 3:
+        # reference backend: droid.terminate(full_ba=True) — one global
+        # BA over the whole clip, seeded by the windowed front-end
+        c2w, mean_res = _global_ba_refine(
+            color_video, depth, k_full, c2w, max_frames=max_frames,
+            mask_video=mask_video, ba_iters=ba_iters)
     output = output or (depth_video + "_transformations.json")
     sidecar.save_transformations(output, c2w)
-    return output, float(np.mean(residuals)) if residuals else 0.0
+    return output, mean_res
 
 
 def _log_so3(r):

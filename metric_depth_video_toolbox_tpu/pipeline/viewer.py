@@ -196,9 +196,10 @@ gl.getExtension('OES_element_index_uint'); // 32-bit mesh indices
 let meta=null, playing=false, frame=0, bg=null, last=0;
 const VS=`attribute vec3 aq; attribute vec3 ac; uniform mat4 mvp;
 uniform vec3 lo; uniform vec3 span; uniform float psz;
+uniform float noSent; // 1 = raw-float geometry (frustum): no u16 sentinel
 varying vec3 vc; varying float vv;
 void main(){
-  vv = (aq.z >= 65535.0) ? 0.0 : 1.0;
+  vv = (noSent < 0.5 && aq.z >= 65535.0) ? 0.0 : 1.0;
   vec3 p = lo + span * (aq / 65534.0);
   gl_Position = mvp * vec4(p, 1.0);
   gl_PointSize = psz / max(gl_Position.w, 0.1);
@@ -215,7 +216,8 @@ gl.attachShader(prog,sh(gl.FRAGMENT_SHADER,FS));
 gl.linkProgram(prog); gl.useProgram(prog);
 const loc={aq:gl.getAttribLocation(prog,'aq'),ac:gl.getAttribLocation(prog,'ac'),
  mvp:gl.getUniformLocation(prog,'mvp'),lo:gl.getUniformLocation(prog,'lo'),
- span:gl.getUniformLocation(prog,'span'),psz:gl.getUniformLocation(prog,'psz')};
+ span:gl.getUniformLocation(prog,'span'),psz:gl.getUniformLocation(prog,'psz'),
+ noSent:gl.getUniformLocation(prog,'noSent')};
 const qbuf=gl.createBuffer(), cbuf=gl.createBuffer(), ibuf=gl.createBuffer();
 let nidx=0, gh=0, gw=0, cur={lo:[0,0,0],span:[1,1,1]}, frus=null;
 const fbuf=gl.createBuffer(), fcol=gl.createBuffer();
@@ -278,7 +280,7 @@ function draw(){
   gl.useProgram(prog);
   gl.uniformMatrix4fv(loc.mvp,false,mat());
   gl.uniform3fv(loc.lo,cur.lo); gl.uniform3fv(loc.span,cur.span);
-  gl.uniform1f(loc.psz,3.0);
+  gl.uniform1f(loc.psz,3.0); gl.uniform1f(loc.noSent,0.0);
   if(gh){
     gl.bindBuffer(gl.ARRAY_BUFFER,qbuf);
     gl.enableVertexAttribArray(loc.aq);
@@ -303,6 +305,7 @@ function draw(){
   }
   if(frus&&document.getElementById('frus').checked){
     gl.uniform3fv(loc.lo,[0,0,0]); gl.uniform3fv(loc.span,[1,1,1]);
+    gl.uniform1f(loc.noSent,1.0); // raw floats: skip u16 invalid test
     const E=[0,1,1,2,2,3,3,0,4,5,5,6,6,7,7,4,0,4,1,5,2,6,3,7];
     const L=new Float32Array(E.length*3);
     for(let i=0;i<E.length;i++){L[i*3]=frus[E[i]*3]*65534;

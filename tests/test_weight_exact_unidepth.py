@@ -254,7 +254,7 @@ class TUniK3D(tnn.Module):
         grids = self.backbone(normalize_imagenet(frames))
         b = grids[0].shape[0]
         ang = self.angular(grids)
-        dirs = self.angular.out(ang) + torch.tensor([0.0, 0.0, 1.0])
+        dirs = self.angular.out(ang)
         patch_rays = dirs / dirs.norm(dim=-1, keepdim=True)
         x = self.radius.tokens(grids, patch_rays)
         out = self.radius.pixel(x)

@@ -1,13 +1,16 @@
-"""Native Matroska (MKV) metadata editing — no ffmpeg binary needed.
+"""Native Matroska (MKV) metadata editing + audio remux — no ffmpeg.
 
 The reference tags its final SBS movie with ``stereo_mode=left_right``
-through ffmpeg (movie_2_3D.py:752-762); 3D players (VLC, Kodi,
-headsets) key off that metadata to enable side-by-side mode. This host
-has no ffmpeg binary, and cv2's writer cannot emit the tag, so this
-module remuxes the cv2-written MKV in pure Python: it parses the EBML
-tree, appends a ``StereoMode`` element to the video track, and rewrites
-the file with recomputed sizes and regenerated Cues (clusters are
-copied byte-for-byte, so the compressed payload is untouched).
+and muxes the source's audio track into it through ffmpeg
+(movie_2_3D.py:723-778); 3D players (VLC, Kodi, headsets) key off the
+StereoMode metadata to enable side-by-side mode. This host has no
+ffmpeg binary, and cv2's writer cannot emit the tag or carry audio, so
+this module remuxes the cv2-written MKV in pure Python: it parses the
+EBML tree, appends a ``StereoMode`` element to the video track,
+optionally copies the audio track(s) of a second Matroska file into
+the output (codec-private + blocks copied verbatim — remux, no
+transcode), and rewrites the file with recomputed sizes and
+regenerated Cues (video clusters are copied payload-untouched).
 
 Matroska StereoMode values (matroska.org spec):
   0 mono, 1 side-by-side left-first, 2 top-bottom right-first,
@@ -33,9 +36,15 @@ VOID = 0xEC
 TRACK_ENTRY = 0xAE
 TRACK_TYPE = 0x83
 TRACK_NUMBER = 0xD7
+TRACK_UID = 0x73C5
 VIDEO = 0xE0
 STEREO_MODE = 0x53B8
 CLUSTER_TIMESTAMP = 0xE7
+TIMESTAMP_SCALE = 0x2AD7B1
+SIMPLE_BLOCK = 0xA3
+BLOCK_GROUP = 0xA0
+BLOCK = 0xA1
+BLOCK_DURATION = 0x9B
 CUE_POINT = 0xBB
 CUE_TIME = 0xB3
 CUE_TRACK_POSITIONS = 0xB7
@@ -233,6 +242,277 @@ def set_stereo_mode(path, mode=STEREO_SBS_LEFT_FIRST, out_path=None):
         f.write(body)
     os.replace(tmp, out)
     return out
+
+
+def _segment_bounds(buf, path=""):
+    """-> (header_bytes, segment_data_start, segment_data_end)."""
+    eid, p1 = _read_id(buf, 0)
+    if eid != EBML_HEADER:
+        raise ValueError(f"{path}: not an EBML/Matroska file")
+    hsize, p2, _ = _read_size(buf, p1)
+    seg_id, sp1 = _read_id(buf, p2 + hsize)
+    if seg_id != SEGMENT:
+        raise ValueError(f"{path}: no Segment element")
+    seg_size, sp2, unknown = _read_size(buf, sp1)
+    seg_end = len(buf) if unknown else sp2 + seg_size
+    return bytes(buf[:p2 + hsize]), sp2, seg_end
+
+
+def _timestamp_scale(buf, info_start, info_end):
+    for cid, ds, de, _h in _iter_children(buf, info_start, info_end):
+        if cid == TIMESTAMP_SCALE:
+            return _parse_uint(buf, ds, de)
+    return 1_000_000  # Matroska default (1 ms)
+
+
+def _split_block_header(buf, start, end):
+    """SimpleBlock/Block payload -> (track_num, rel_ts_s16, rest_bytes).
+    ``rest`` = flags byte + (lacing +) frame data, copied verbatim."""
+    num, p = _read_size(buf, start)[:2]
+    rel = int.from_bytes(buf[p:p + 2], "big", signed=True)
+    return num, rel, bytes(buf[p + 2:end])
+
+
+def _collect_audio(buf, path=""):
+    """Parse a Matroska file and pull out its audio side: returns
+    (timestamp_scale, [(old_track_num, track_entry_children)], blocks)
+    where blocks = [(abs_ts_src_scale, old_num, is_group, rest,
+    group_children)] — ``rest`` is the block payload after the
+    track/timestamp header (flags + lacing + coded frames, verbatim);
+    ``group_children`` is the BlockGroup's non-Block children as
+    (id, payload) pairs (BlockDuration etc.)."""
+    header, sp2, seg_end = _segment_bounds(buf, path)
+    del header
+    scale = 1_000_000
+    audio_tracks = []  # (old_num, [(child_id, payload), ...])
+    audio_nums = set()
+    blocks = []
+    for eid, ds, de, _hs in _iter_children(buf, sp2, seg_end):
+        if eid == INFO:
+            scale = _timestamp_scale(buf, ds, de)
+        elif eid == TRACKS:
+            for tid, tds, tde, _h in _iter_children(buf, ds, de):
+                if tid != TRACK_ENTRY:
+                    continue
+                ttype = tnum = None
+                children = []
+                for cid, cds, cde, _h2 in _iter_children(buf, tds, tde):
+                    children.append((cid, bytes(buf[cds:cde])))
+                    if cid == TRACK_TYPE:
+                        ttype = _parse_uint(buf, cds, cde)
+                    elif cid == TRACK_NUMBER:
+                        tnum = _parse_uint(buf, cds, cde)
+                if ttype == 2 and tnum is not None:  # audio
+                    audio_tracks.append((tnum, children))
+                    audio_nums.add(tnum)
+        elif eid == CLUSTER:
+            cts = 0
+            for cid, cds, cde, _h in _iter_children(buf, ds, de):
+                if cid == CLUSTER_TIMESTAMP:
+                    cts = _parse_uint(buf, cds, cde)
+                elif cid == SIMPLE_BLOCK:
+                    num, rel, rest = _split_block_header(buf, cds, cde)
+                    if num in audio_nums:
+                        blocks.append((cts + rel, num, False, rest, []))
+                elif cid == BLOCK_GROUP:
+                    num = rel = rest = None
+                    extra = []
+                    for gid, gds, gde, _h2 in _iter_children(
+                            buf, cds, cde):
+                        if gid == BLOCK:
+                            num, rel, rest = _split_block_header(
+                                buf, gds, gde)
+                        else:
+                            extra.append((gid, bytes(buf[gds:gde])))
+                    if num in audio_nums:
+                        blocks.append((cts + rel, num, True, rest, extra))
+    return scale, audio_tracks, blocks
+
+
+def _emit_block(new_num, rel, is_group, rest, extra, dur_ratio):
+    """Re-emit one audio block with a patched track number and
+    cluster-relative timestamp."""
+    body = (_encode_size(new_num)
+            + int(rel).to_bytes(2, "big", signed=True) + rest)
+    if not is_group:
+        return _element(SIMPLE_BLOCK, body)
+    payload = _element(BLOCK, body)
+    for gid, gp in extra:
+        if gid == BLOCK_DURATION and dur_ratio != 1.0:
+            d = int(round(int.from_bytes(gp, "big") * dur_ratio))
+            gp = _encode_uint(max(d, 0))
+        payload += _element(gid, gp)
+    return _element(BLOCK_GROUP, payload)
+
+
+def mux_audio(video_path, audio_source_path, out_path=None,
+              stereo_mode=None):
+    """Copy the audio track(s) of ``audio_source_path`` (Matroska) into
+    ``video_path`` — remux, no transcode (codec-private and coded
+    frames are copied verbatim; only track numbers and cluster-relative
+    timestamps are rewritten, with timestamp-scale conversion). The
+    native stand-in for the reference's ffmpeg audio mux
+    (movie_2_3D.py:723-778, ``-map 0:v -map 1:a? -c copy``) on hosts
+    without an ffmpeg binary. ``stereo_mode``: also tag the video track
+    in the same rewrite. In-place when ``out_path`` is None. Raises
+    ValueError when the source is not Matroska or carries no audio
+    (callers fall back to a warning, pipeline/movie.py step7).
+    """
+    import bisect
+
+    with open(video_path, "rb") as f:
+        vbuf = f.read()
+    with open(audio_source_path, "rb") as f:
+        abuf = f.read()
+
+    src_scale, audio_tracks, audio_blocks = _collect_audio(
+        abuf, audio_source_path)
+    if not audio_tracks:
+        raise ValueError(f"{audio_source_path}: no audio track found")
+
+    header, sp2, seg_end = _segment_bounds(vbuf, video_path)
+    info = tracks_payload = None
+    dst_scale = 1_000_000
+    clusters = []  # (cluster_ts, payload_bytes)
+    keep_misc = []
+    video_track_num = 1
+    max_track_num = 0
+    for eid, ds, de, _hs in _iter_children(vbuf, sp2, seg_end):
+        if eid == INFO:
+            info = _element(INFO, bytes(vbuf[ds:de]))
+            dst_scale = _timestamp_scale(vbuf, ds, de)
+        elif eid == TRACKS:
+            if stereo_mode is not None:
+                tracks_el, video_track_num = _rebuild_tracks(
+                    vbuf, ds, de, stereo_mode)
+                # strip the TRACKS wrapper to get the payload back
+                _tid, tp1 = _read_id(tracks_el, 0)
+                _sz, tp2, _u = _read_size(tracks_el, tp1)
+                tracks_payload = tracks_el[tp2:]
+            else:
+                tracks_payload = bytes(vbuf[ds:de])
+            for tid, tds, tde, _h in _iter_children(vbuf, ds, de):
+                if tid != TRACK_ENTRY:
+                    continue
+                for cid, cds, cde, _h2 in _iter_children(vbuf, tds, tde):
+                    if cid == TRACK_NUMBER:
+                        max_track_num = max(
+                            max_track_num, _parse_uint(vbuf, cds, cde))
+        elif eid == CLUSTER:
+            cts = 0
+            for cid, cds, cde, _h in _iter_children(vbuf, ds, de):
+                if cid == CLUSTER_TIMESTAMP:
+                    cts = _parse_uint(vbuf, cds, cde)
+                    break
+            clusters.append((cts, bytes(vbuf[ds:de])))
+        elif eid in (TAGS, CHAPTERS, ATTACHMENTS):
+            keep_misc.append(_element(eid, bytes(vbuf[ds:de])))
+    if tracks_payload is None:
+        raise ValueError(f"{video_path}: no Tracks element")
+    if not clusters:
+        raise ValueError(f"{video_path}: no Clusters")
+
+    # renumbered audio TrackEntries appended to the video's Tracks
+    renum = {}
+    new_entries = b""
+    for i, (old_num, children) in enumerate(audio_tracks):
+        new_num = max_track_num + 1 + i
+        renum[old_num] = new_num
+        payload = b""
+        for cid, cp in children:
+            if cid == TRACK_NUMBER:
+                cp = _encode_uint(new_num)
+            elif cid == TRACK_UID:  # avoid UID collisions across files
+                cp = _encode_uint(0x4D445654 + new_num)
+            payload += _element(cid, cp)
+        new_entries += _element(TRACK_ENTRY, payload)
+    tracks = _element(TRACKS, tracks_payload + new_entries)
+
+    # audio block placement: source scale -> dest scale, then into the
+    # video cluster whose timestamp precedes it (s16 relative range)
+    ts_ratio = src_scale / dst_scale
+    cluster_ts = [c[0] for c in clusters]
+    extra_blocks = []  # beyond s16 range of the last cluster
+    per_cluster = [[] for _ in clusters]
+    for abs_src, old_num, is_group, rest, extra in audio_blocks:
+        ts = int(round(abs_src * ts_ratio))
+        idx = max(bisect.bisect_right(cluster_ts, ts) - 1, 0)
+        rel = ts - cluster_ts[idx]
+        if -32768 <= rel <= 32767:
+            per_cluster[idx].append(
+                _emit_block(renum[old_num], rel, is_group, rest, extra,
+                            ts_ratio))
+        else:
+            extra_blocks.append((ts, renum[old_num], is_group, rest,
+                                 extra))
+
+    out_clusters = []
+    for (cts, payload), audio in zip(clusters, per_cluster):
+        if audio:
+            payload = payload + b"".join(audio)
+        out_clusters.append((cts, _element(CLUSTER, payload)))
+    # trailing audio-only clusters (audio running past the last video
+    # cluster's s16 window), 30 s each
+    extra_blocks.sort(key=lambda b: b[0])
+    i = 0
+    while i < len(extra_blocks):
+        base_ts = extra_blocks[i][0]
+        payload = _element(CLUSTER_TIMESTAMP, _encode_uint(base_ts))
+        while i < len(extra_blocks) and \
+                extra_blocks[i][0] - base_ts <= 30_000:
+            ts, num, is_group, rest, extra = extra_blocks[i]
+            payload += _emit_block(num, ts - base_ts, is_group, rest,
+                                   extra, ts_ratio)
+            i += 1
+        out_clusters.append((base_ts, _element(CLUSTER, payload)))
+
+    # reassemble: Info, Tracks, Clusters, misc, regenerated Cues
+    body_pre = (info or b"") + tracks
+    positions = []
+    off = len(body_pre)
+    for _cts, blob in out_clusters:
+        positions.append(off)
+        off += len(blob)
+    cues_payload = b""
+    for (cts, _blob), pos in zip(out_clusters, positions):
+        ctp = (_element(CUE_TRACK, _encode_uint(video_track_num or 1))
+               + _element(CUE_CLUSTER_POSITION, _encode_uint(pos)))
+        cues_payload += _element(
+            CUE_POINT, _element(CUE_TIME, _encode_uint(cts))
+            + _element(CUE_TRACK_POSITIONS, ctp))
+    body = (body_pre + b"".join(b for _t, b in out_clusters)
+            + b"".join(keep_misc) + _element(CUES, cues_payload))
+
+    out = out_path or video_path
+    tmp = os.path.join(os.path.dirname(os.path.abspath(out)),
+                       f"_tmp_audio_{os.path.basename(out)}")
+    with open(tmp, "wb") as f:
+        f.write(header)
+        f.write(_encode_id(SEGMENT) + _encode_size(len(body), 8))
+        f.write(body)
+    os.replace(tmp, out)
+    return out
+
+
+def has_audio_track(path):
+    """True if the Matroska file carries at least one audio track."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    try:
+        _header, sp2, seg_end = _segment_bounds(buf, path)
+    except ValueError:
+        return False
+    for eid, ds, de, _hs in _iter_children(buf, sp2, seg_end):
+        if eid != TRACKS:
+            continue
+        for tid, tds, tde, _h in _iter_children(buf, ds, de):
+            if tid != TRACK_ENTRY:
+                continue
+            for cid, cds, cde, _h2 in _iter_children(buf, tds, tde):
+                if cid == TRACK_TYPE and _parse_uint(
+                        buf, cds, cde) == 2:
+                    return True
+    return False
 
 
 def get_stereo_mode(path):

@@ -340,12 +340,24 @@ def step7_concat(scenes, color_video, output=None, compressed=False):
         if r.returncode == 0 and os.path.exists(muxed) \
                 and os.path.getsize(muxed) > 0:
             os.replace(muxed, output)
-    else:
-        print("WARNING: no ffmpeg binary found — the final movie has NO "
-              "AUDIO (the reference muxes the source audio with ffmpeg, "
-              "movie_2_3D.py:752-778). Install ffmpeg and re-run, or mux "
-              f"manually: ffmpeg -i {output} -i {color_video} "
-              "-map 0:v -map 1:a? -c copy out.mkv")
+    elif output.endswith(".mkv"):
+        # native audio passthrough (io/mkv.py remux — copy the source's
+        # audio blocks, no transcode), the reference's ffmpeg audio mux
+        # (movie_2_3D.py:723-778) without an ffmpeg binary. Matroska
+        # sources only; other containers still need ffmpeg.
+        from metric_depth_video_toolbox_tpu.io import mkv as mkv_mod
+        try:
+            if mkv_mod.has_audio_track(color_video):
+                mkv_mod.mux_audio(output, color_video)
+                print(f"muxed source audio into {output} (native remux)")
+            else:
+                print("source has no (Matroska) audio track — final "
+                      "movie is silent")
+        except Exception as e:
+            print(f"WARNING: native audio mux failed ({e}) — the final "
+                  "movie has NO AUDIO. Mux manually: ffmpeg -i "
+                  f"{output} -i {color_video} -map 0:v -map 1:a? "
+                  "-c copy out.mkv")
     if output.endswith(".mkv"):
         # Matroska StereoMode on the video track — players key off this
         # to enable side-by-side mode. Written natively (io/mkv.py

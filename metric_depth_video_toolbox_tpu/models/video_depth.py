@@ -261,7 +261,8 @@ def stitch_windows(window_disps, window, overlap, total):
 
 
 def infer_video_depth(apply_fn, params, frames_u8, work_hw, out_hw,
-                      window=32, overlap=8, batch_hook=None, mesh=None):
+                      window=32, overlap=8, batch_hook=None, mesh=None,
+                      transfer_hw=None):
     """Sliding-window video depth over an arbitrary-length clip.
 
     frames_u8: (T, H, W, 3) uint8. Returns (T, out_h, out_w) float32
@@ -272,6 +273,15 @@ def infer_video_depth(apply_fn, params, frames_u8, work_hw, out_hw,
     becomes the only cross-device op — XLA inserts the collectives over
     the time axis (the sequence-parallel layout SURVEY.md §5 describes
     for the reference's windowed long-video mechanism).
+
+    ``transfer_hw``: fetch disparity at this resolution instead of
+    ``out_hw`` (typically ``work_hw``): on tunneled runtimes the
+    (T, 1080, 1920) float32 fetch is ~8.3 MB/frame over a single-digit
+    MB/s link, 4.3x the bytes of the model's native output. The caller
+    upsamples on host AFTER fetching — bilinear resize is linear, so
+    resize-then-affine equals affine-then-resize exactly; only the
+    nonlinear reciprocal must stay after the upsample (VDAEngine does
+    this). Returns (T,) + transfer_hw in that case.
     """
     t_total = frames_u8.shape[0]
     # overlap >= window would make the slide step 0 -> infinite dispatch
@@ -288,13 +298,17 @@ def infer_video_depth(apply_fn, params, frames_u8, work_hw, out_hw,
     # params must be an ARGUMENT, not a closure capture: closed-over device
     # arrays are lowered as MLIR constants (a full device->host copy of
     # every weight at trace time).
+    fetch_hw = tuple(transfer_hw or out_hw)
+
     @jax.jit
     def run_window(p, win_u8):
         x = win_u8.astype(jnp.float32) / 255.0
         x = jax.image.resize(x, (window, work_hw[0], work_hw[1], 3),
                              "bilinear")
         d = apply_fn(p, x)
-        return jax.image.resize(d, (window,) + tuple(out_hw), "bilinear")
+        if d.shape[1:3] == fetch_hw:
+            return d
+        return jax.image.resize(d, (window,) + fetch_hw, "bilinear")
 
     disps = []
     start = 0

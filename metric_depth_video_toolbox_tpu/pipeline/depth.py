@@ -25,7 +25,23 @@ from metric_depth_video_toolbox_tpu.io import video as vio
 from metric_depth_video_toolbox_tpu.models import depth_anything as da
 from metric_depth_video_toolbox_tpu.models import video_depth as vd
 from metric_depth_video_toolbox_tpu.ops import solvers
+from metric_depth_video_toolbox_tpu.utils import host as host_mod
 from metric_depth_video_toolbox_tpu.utils.host import robust_call, to_host
+
+
+def _upsample_bilinear(frames, out_hw):
+    """(T, h, w) float32 -> (T, out_h, out_w) via cv2 INTER_LINEAR —
+    verified to match jax.image.resize 'bilinear' (both use half-pixel
+    centers; upsampling applies no antialias) to float32 rounding, so
+    moving the upsample host-side after a low-res fetch is behavior-
+    preserving (tests/test_engine_variants.py)."""
+    import cv2
+
+    out = np.empty((frames.shape[0],) + tuple(out_hw), np.float32)
+    for i in range(frames.shape[0]):
+        cv2.resize(frames[i], (out_hw[1], out_hw[0]),
+                   dst=out[i], interpolation=cv2.INTER_LINEAR)
+    return out
 
 ENGINES: Dict[str, Callable] = {}
 
@@ -128,10 +144,19 @@ class VDAEngine:
         work_hw = da.working_resolution(h, w, self.input_size,
                                         self.cfg.vit.patch_size)
         self._ensure_params(work_hw)
+        # on the tunneled runtime fetch disparity at the model's native
+        # working resolution (4.3x fewer bytes over a single-digit-MB/s
+        # D2H link) and upsample on host: bilinear is linear, so doing
+        # the resize before the affine re-metricization is exact; only
+        # the reciprocal below must stay after the upsample
+        tunneled = host_mod.tunneled_runtime()
         disp = vd.infer_video_depth(
             self._apply, self._params, frames_u8,
             work_hw, (h, w), window=self.cfg.window,
-            overlap=self.cfg.overlap, mesh=self._mesh)
+            overlap=self.cfg.overlap, mesh=self._mesh,
+            transfer_hw=work_hw if tunneled else None)
+        if disp.shape[1:3] != (h, w):
+            disp = _upsample_bilinear(disp, (h, w))
 
         if self.rolling_average > 0:
             # rolling-average alignment: metric anchors sampled along
@@ -653,7 +678,7 @@ class DepthCrafterEngine:
     load via ``models.convert``."""
 
     def __init__(self, cfg=None, params=None, window=110, overlap=25,
-                 work_hw=(256, 256), rng_seed=0, max_depth=100.0,
+                 work_hw=None, max_res=768, rng_seed=0, max_depth=100.0,
                  vae_cfg=None, use_depth_prompting=False, **_):
         # **_ tolerates the generic engine kwargs the movie orchestrator
         # passes to every engine type (size/input_size)
@@ -662,7 +687,12 @@ class DepthCrafterEngine:
         self.cfg, self.model = _build_denoiser(cfg, vae_cfg)
         self.window = window
         self.overlap = overlap
+        # work_hw=None: derived from the input's aspect ratio at the
+        # first window, long side capped at ``max_res`` and rounded to
+        # x64 — the reference's working point (depthcrafter_video.py:52
+        # --max_res 768, :191-192), NOT a fixed square
         self.work_hw = work_hw
+        self.max_res = max_res
         self.max_depth = max_depth
         # experimental latent depth prompting (reference
         # depthcrafter_video.py:131-177): the reference depth rides into
@@ -670,6 +700,15 @@ class DepthCrafterEngine:
         self.use_depth_prompting = use_depth_prompting
         self._params = params
         self._rng = jax.random.PRNGKey(rng_seed)
+
+    def _resolve_work_hw(self, h, w):
+        if self.work_hw is None:
+            # aspect-preserving, long side <= max_res, x64-rounded
+            # (reference depthcrafter_video.py:52,191-192)
+            s = min(1.0, self.max_res / max(h, w))
+            self.work_hw = (max(64, int(round(h * s / 64)) * 64),
+                            max(64, int(round(w * s / 64)) * 64))
+        return self.work_hw
 
     def _ensure(self, t):
         if self._params is None:
@@ -679,8 +718,8 @@ class DepthCrafterEngine:
 
     def infer_window(self, frames_u8, ref_depth=None):
         t, h, w = frames_u8.shape[:3]
+        wh, ww = self._resolve_work_hw(h, w)
         self._ensure(t)
-        wh, ww = self.work_hw
         prompt = self.use_depth_prompting and ref_depth is not None
 
         # shape-keyed jit cache: a fresh `def` per call would retrace

@@ -34,6 +34,18 @@ class DeviceFetchTimeout(RuntimeError):
     pass
 
 
+def tunneled_runtime():
+    """True when the device backend is a remote tunnel (the 'axon'
+    experimental platform): D2H there runs at single-digit MB/s while
+    H2D runs hundreds, so spending device FLOPs or host cycles to
+    shrink fetches pays. On a real PCIe host dense fetches are
+    near-free and the packed/low-res paths would only add latency."""
+    try:
+        return jax.default_backend() == "axon"
+    except Exception:
+        return False
+
+
 def _fetch_once(x, timeout):
     q = queue.Queue()
 

@@ -20,6 +20,26 @@ _LIB = None
 _SEARCHED = False
 
 
+def _autobuild(native_dir):
+    """Build libmdvt_native.so on first use when a toolchain exists —
+    ships the C++ fast paths in the default flow instead of requiring a
+    manual ``make -C native`` (gate: MDVT_NATIVE_BUILD=0 disables).
+    Quiet, bounded, and racing processes are serialized by make itself
+    building to a temp name only through this single call site."""
+    if os.environ.get("MDVT_NATIVE_BUILD", "1") == "0":
+        return
+    import shutil as _sh
+    import subprocess
+    if not (_sh.which("make") and _sh.which("g++")):
+        return
+    try:
+        subprocess.run(["make", "-C", native_dir, "-s"], timeout=180,
+                       stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL, check=False)
+    except Exception:
+        pass
+
+
 def _find_lib():
     global _LIB, _SEARCHED
     if _SEARCHED:
@@ -27,8 +47,10 @@ def _find_lib():
     _SEARCHED = True
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    for cand in (os.path.join(here, "native", "libmdvt_native.so"),
-                 "libmdvt_native.so"):
+    so_path = os.path.join(here, "native", "libmdvt_native.so")
+    if not os.path.exists(so_path):
+        _autobuild(os.path.dirname(so_path))
+    for cand in (so_path, "libmdvt_native.so"):
         try:
             lib = ctypes.CDLL(cand)
         except OSError:
@@ -48,6 +70,11 @@ def _find_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64]
         lib.ply_serialize.restype = ctypes.c_int64
+        try:
+            lib.tilepack_rows.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+        except AttributeError:  # pre-tilepack .so on disk
+            pass
         lib.ring_create.argtypes = [ctypes.c_int64]
         lib.ring_create.restype = ctypes.c_void_p
         lib.ring_destroy.argtypes = [ctypes.c_void_p]
@@ -125,6 +152,20 @@ def ply_bytes(points, colors=None):
     if n < 0:
         raise RuntimeError("ply_serialize: buffer too small")
     return out[:n].tobytes()
+
+
+def tilepack_rows(z_rows):
+    """In-place host half of the tile-bitpack transfer codec
+    (ops/tilepack.py): (R, W) uint8 zigzag residual rows -> original
+    bytes (un-zigzag + mod-256 prefix sum per row). Returns the array.
+    C++ when built; vectorized numpy fallback."""
+    z = np.ascontiguousarray(z_rows, np.uint8)
+    lib = _find_lib()
+    if lib is not None and hasattr(lib, "tilepack_rows"):
+        lib.tilepack_rows(z.ctypes.data, z.shape[0], z.shape[1])
+        return z
+    d = ((z >> 1) ^ (255 * (z & 1))).astype(np.uint8)  # un-zigzag
+    return np.add.accumulate(d, axis=1, dtype=np.uint8)  # mod-256 cumsum
 
 
 class RingBuffer:

@@ -39,6 +39,7 @@ from metric_depth_video_toolbox_tpu.ops import geometry as geo
 from metric_depth_video_toolbox_tpu.ops import image as im
 from metric_depth_video_toolbox_tpu.ops import infill as infill_ops
 from metric_depth_video_toolbox_tpu.ops import rasterize
+from metric_depth_video_toolbox_tpu.ops import tilepack as tile_mod
 from metric_depth_video_toolbox_tpu.utils.host import (robust_call_select,
                                                        to_host)
 
@@ -506,10 +507,13 @@ def render_stereo_video(depth_video, color_video=None, output=None,
     # (tunneled runtimes); equirect resampling needs the dense mask on
     # device anyway, so vr180 keeps the dense path
     pack_mask = infill_mask and not vr180 and _tunneled_runtime()
+    # image tile-bitpack: same trade for the SBS image itself (vr180
+    # re-warps on device, so it keeps the dense path)
+    pack_img = _tunneled_runtime() and not vr180
     step = _cached_step(cfg, want_mask=infill_mask,
                         want_depth=create_sbs_depth,
-                        pack_mask=pack_mask)
-    fetch_keys = ["image"]
+                        pack_mask=pack_mask, pack_image=pack_img)
+    fetch_keys = (["img_bids", "img_counts"] if pack_img else ["image"])
     if infill_mask:
         # mask_vals is NOT in the eager fetch: its static cap (H*W//5)
         # would transfer ~2.5 MB/frame even when holes are ~5%; the
@@ -594,7 +598,13 @@ def render_stereo_video(depth_video, color_video=None, output=None,
                 jnp.asarray(np.asarray(convs), jnp.float32),
                 jnp.asarray(np.asarray(scales), jnp.float32),
                 keys=fetch_keys)
-            images = out["image"]
+            if pack_img:
+                layout = tile_mod.PackLayout(b, out_size[1], out_size[0], 3)
+                buckets = tile_mod.fetch_buckets(out, out_dev, to_host,
+                                                 prefix="img_")
+                images = tile_mod.unpack(out["img_bids"], buckets, layout)
+            else:
+                images = out["image"]
             masks = out.get("infill_mask")
             if pack_mask:
                 mh, mw = images.shape[1], images.shape[2]
@@ -693,18 +703,14 @@ def _unpack_mask_frame(bits, vals, count, h, w):
 
 
 def _tunneled_runtime():
-    """True when the device backend is a remote tunnel (the 'axon'
-    experimental platform): D2H there runs at single-digit MB/s, so
-    spending device FLOPs to shrink transfers pays. On a real PCIe
-    host the dense fetch is near-free and packing would only add
-    device time."""
-    try:
-        return jax.default_backend() == "axon"
-    except Exception:
-        return False
+    """Delegates to utils.host.tunneled_runtime (kept as a module
+    symbol: tests monkeypatch it to exercise the packed paths)."""
+    from metric_depth_video_toolbox_tpu.utils import host as host_mod
+    return host_mod.tunneled_runtime()
 
 
-def _cached_step(cfg, want_mask=True, want_depth=True, pack_mask=False):
+def _cached_step(cfg, want_mask=True, want_depth=True, pack_mask=False,
+                 pack_image=False):
     """Jitted batched stereo step, cached by config: a fresh jax.jit
     closure per render call would RECOMPILE the whole program every
     scene (measured ~100 s per movie scene on the remote-compile
@@ -720,8 +726,12 @@ def _cached_step(cfg, want_mask=True, want_depth=True, pack_mask=False):
     instead of the 8 B/px float pair). ``pack_mask`` additionally
     emits the sparse mask encoding (_pack_mask_batch); the driver then
     fetches the packed form and skips the dense 3 B/px mask unless a
-    frame overflows the cap."""
-    key = (cfg, want_mask, want_depth, pack_mask)
+    frame overflows the cap. ``pack_image`` additionally emits the
+    lossless tile-bitpack transfer encoding of the SBS image itself
+    (ops/tilepack.py) — on the tunneled runtime the 12.4 MB/frame
+    dense image D2H is THE e2e bottleneck (BENCH_r03: 0.43 fps e2e vs
+    50 fps device)."""
+    key = (cfg, want_mask, want_depth, pack_mask, pack_image)
     step = _STEP_CACHE.get(key)
     if step is None:
         vstep = jax.vmap(partial(stereo_frame, cfg=cfg),
@@ -730,6 +740,9 @@ def _cached_step(cfg, want_mask=True, want_depth=True, pack_mask=False):
         def pruned(*args):
             out = vstep(*args)
             res = {"image": out["image"]}
+            if pack_image:
+                res.update({"img_" + k: v for k, v in
+                            tile_mod.pack(out["image"]).items()})
             if want_mask:
                 res["infill_mask"] = out["infill_mask"]
                 if pack_mask:

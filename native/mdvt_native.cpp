@@ -184,3 +184,22 @@ int64_t ring_pop(void* rp, uint8_t* dst, int64_t n) {
 }
 
 }  // extern "C"
+
+// --- tilepack row transform ------------------------------------------------
+// Host half of the device->host tile-bitpack transfer codec
+// (ops/tilepack.py): rows of zigzag residuals -> original bytes.
+// Per element: d = unzigzag(z); acc += d (mod 256). The serial
+// dependence is per row only, and the scalar loop runs ~1 GB/s -- far
+// above the tunnel D2H it feeds.
+extern "C" void tilepack_rows(uint8_t* z, int64_t rows, int64_t width) {
+    for (int64_t r = 0; r < rows; ++r) {
+        uint8_t* p = z + r * width;
+        uint8_t acc = 0;
+        for (int64_t i = 0; i < width; ++i) {
+            uint8_t v = p[i];
+            uint8_t d = (uint8_t)((v >> 1) ^ (uint8_t)(-(int8_t)(v & 1)));
+            acc = (uint8_t)(acc + d);
+            p[i] = acc;
+        }
+    }
+}

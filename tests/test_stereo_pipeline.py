@@ -165,3 +165,49 @@ def test_vr180_equirect_output(tmp_path):
         max_depth=20.0, vr180_eye_size=64)
     n, w, h, _ = vio.video_info(out)
     assert (n, w, h) == (2, 64 * 2, 64)
+
+
+def test_packed_image_path_matches_dense(tmp_path, monkeypatch):
+    """The tunneled-runtime transfer packings (sparse mask + image
+    tile-bitpack, ops/tilepack.py) must be invisible in the output:
+    byte-identical SBS + mask videos vs the dense fetch path."""
+    dpath, cpath, _, _ = _make_scene_videos(tmp_path)
+
+    dense = stereo.render_stereo_video(
+        dpath, color_video=cpath, output=str(tmp_path / "dense.mkv"),
+        xfov=60.0, batch_size=2, infill_mask=True)
+    dense_frames, _ = vio.read_video_frames(dense)
+    dense_mask, _ = vio.read_video_frames(dense + "_infillmask.mkv")
+
+    monkeypatch.setattr(stereo, "_tunneled_runtime", lambda: True)
+    packed = stereo.render_stereo_video(
+        dpath, color_video=cpath, output=str(tmp_path / "packed.mkv"),
+        xfov=60.0, batch_size=2, infill_mask=True)
+    packed_frames, _ = vio.read_video_frames(packed)
+    packed_mask, _ = vio.read_video_frames(packed + "_infillmask.mkv")
+
+    assert np.array_equal(dense_frames, packed_frames)
+    assert np.array_equal(dense_mask, packed_mask)
+
+
+def test_tilepack_roundtrip_exact_and_batched():
+    """Tile-bitpack codec: exact over mixed content (flat, gradient,
+    noise), non-multiple-of-256 widths, and batch > 1."""
+    import jax
+
+    from metric_depth_video_toolbox_tpu.ops import tilepack
+
+    rng = np.random.default_rng(0)
+    for (b, h, w, c) in [(2, 16, 300, 3), (1, 8, 256, 3), (3, 4, 37, 1)]:
+        img = np.zeros((b, h, w, c), np.uint8)
+        img[:, :, : w // 3] = 77
+        img[:, :, w // 3:] = np.linspace(
+            0, 200, w - w // 3)[None, None, :, None].astype(np.uint8)
+        img[:, h // 2:] += rng.integers(
+            0, 255, (b, h - h // 2, w, c)).astype(np.uint8)
+        layout = tilepack.PackLayout(b, h, w, c)
+        out = jax.jit(lambda x, lo=layout: tilepack.pack(x, lo))(img)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        buckets = tilepack.fetch_buckets(out, out, np.asarray)
+        rec = tilepack.unpack(out["bids"], buckets, layout)
+        assert np.array_equal(rec, img), (b, h, w, c)

@@ -49,7 +49,22 @@ def _synth_batch(rng, b):
         depth[:, t:bt, lf:rt] = z * (1.0 + 0.05 * np.sin(i))
     depth *= 1.0 + 0.01 * rng.standard_normal((b, H, W)).astype(np.float32)
     depth = np.clip(depth, 1.0, 99.0).astype(np.float32)
-    color = rng.integers(0, 255, (b, H, W, 3), dtype=np.uint8)
+    # Color: film-like statistics, same argument as the depth scene
+    # above — real frames are textured but locally correlated (lossless
+    # codecs get ~2x on film; pure per-pixel noise is incompressible
+    # and occurs in no movie). Composition: smooth lighting gradients +
+    # per-object albedo + fine sinusoidal texture + sensor grain.
+    yy = np.linspace(0, 1, H, dtype=np.float32)[:, None, None]
+    xx = np.linspace(0, 1, W, dtype=np.float32)[None, :, None]
+    base = 90 + 70 * yy + 40 * xx * np.array([1.0, 0.8, 0.6], np.float32)
+    tex = 18 * np.sin(xx * 97.0 + yy * 31.0) * np.cos(yy * 211.0)
+    col = np.broadcast_to(base + tex, (b, H, W, 3)).copy()
+    for i, (t, bt, lf, rt, _z) in enumerate(objs):
+        col[:, t:bt, lf:rt] += np.asarray(
+            [[25, -30, 10], [-35, 20, 30], [15, 25, -25],
+             [-20, -15, 35]][i], np.float32)
+    col += 3.0 * rng.standard_normal((b, H, W, 3)).astype(np.float32)
+    color = np.clip(col, 0, 255).astype(np.uint8)
     return depth, color
 
 
@@ -175,6 +190,49 @@ def bench_depth_inference(size="vits", batch=None, hw=(14 * 37, 14 * 66),
     return batch * DEPTH_ITERS / dt
 
 
+def bench_infill_diffusion():
+    """Diffusion infill at the StereoCrafter production working point
+    (DIFFUSION_SVD UNet, 25-frame chunk at 1024x768, 5 EDM steps —
+    reference stereo_crafter_infill.py:220,97-99). Frames/s of a warm
+    infill_chunk; random-init weights (same FLOPs as converted ones)."""
+    from metric_depth_video_toolbox_tpu.models import diffusion as dif
+    from metric_depth_video_toolbox_tpu.pipeline import infill_diffusion
+
+    eng = infill_diffusion.DiffusionInfillEngine(
+        cfg=dif.DIFFUSION_SVD, work_hw=(768, 1024), chunk=25, overlap=6)
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (25, 768, 1024, 3), dtype=np.uint8)
+    holes = np.zeros((25, 768, 1024), bool)
+    holes[:, 300:460, 400:640] = True
+    eng.infill_chunk(frames, holes)  # compile + warm
+    t0 = time.perf_counter()
+    out = eng.infill_chunk(frames, holes)
+    dt = time.perf_counter() - t0
+    assert out.shape == frames.shape and np.isfinite(
+        out.astype(np.float32)).all()
+    return 25 / dt
+
+
+def bench_vda_engine(n_frames=48):
+    """Engine-level ViT-L video-depth fps: the full VDAEngine window
+    path (windowed temporal model + metric-anchor scale/shift), the
+    movie pipeline's default depth engine mechanics
+    (video_metric_convert.py:77-150). Includes host<->device transfers
+    — the fps a real scene experiences once files are in memory."""
+    from metric_depth_video_toolbox_tpu.pipeline import depth as dstage
+
+    eng = dstage.VDAEngine(size="vitl", input_size=518,
+                           metric_anchor_frames=8, max_depth=100.0)
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 255, (n_frames, 518, 924, 3), dtype=np.uint8)
+    eng.infer_video(frames[: eng.cfg.window + 1])  # compile both windows
+    t0 = time.perf_counter()
+    d = eng.infer_video(frames)
+    dt = time.perf_counter() - t0
+    assert d.shape == frames.shape[:3] and np.isfinite(d).all()
+    return n_frames / dt
+
+
 def bench_reference_equivalent_numpy(n_frames=3):
     """Single-thread numpy version of the same per-frame work the reference
     does on host (unproject -> transform -> project -> 2x z-buffer splat),
@@ -226,6 +284,16 @@ def main():
     except Exception as e:  # never lose the headline to an IO hiccup
         print(f"# e2e bench failed: {e}")
         e2e_fps = float("nan")
+    try:
+        infill_fps = bench_infill_diffusion()
+    except Exception as e:
+        print(f"# diffusion infill bench failed: {e}")
+        infill_fps = float("nan")
+    try:
+        vda_fps = bench_vda_engine()
+    except Exception as e:
+        print(f"# vda engine bench failed: {e}")
+        vda_fps = float("nan")
     combined = 1.0 / (1.0 / stereo_fps + 1.0 / depth_fps)
     ref_fps = bench_reference_equivalent_numpy(n_frames=5)
     # reference pipeline also needs depth inference; its stereo path alone
@@ -241,6 +309,8 @@ def main():
             "depth_inference_fps_vitl_518": round(depth_fps, 3),
             "depth_inference_fps_vitl_518_int8": round(depth_fps_int8, 3),
             "e2e_file_to_file_stereo_fps": round(e2e_fps, 3),
+            "diffusion_infill_fps_svd_25x1024x768": round(infill_fps, 3),
+            "vda_engine_fps_vitl": round(vda_fps, 3),
             "reference_equiv_numpy_fps": round(ref_fps, 3),
         },
     }

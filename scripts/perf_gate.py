@@ -53,6 +53,17 @@ def run_gate(quick=False):
             lambda: bench.bench_stereo(scene="random"),
         "depth_inference_fps_vitl_518":
             lambda: bench.bench_depth_inference("vitl"),
+        # blind spots that bit round 3 (VERDICT r3 weak #2/#4): the
+        # shipped --quantize int8 mode, the true file->file throughput,
+        # the production-scale diffusion infill, and the engine-level
+        # VDA window path (movie default engine mechanics)
+        "depth_inference_fps_vitl_518_int8":
+            lambda: bench.bench_depth_inference("vitl", quant="int8"),
+        "e2e_file_to_file_stereo_fps":
+            lambda: bench.bench_e2e_file_to_file(),
+        "diffusion_infill_fps_svd_25x1024x768":
+            lambda: bench.bench_infill_diffusion(),
+        "vda_engine_fps_vitl": lambda: bench.bench_vda_engine(),
     }
 
     ok = True

@@ -56,6 +56,71 @@ class _LogBuffer(io.TextIOBase):
             return self.lines[start:], len(self.lines)
 
 
+class _Player:
+    """Lazy per-file video access for the GUI's scene player (the
+    reference GUI embeds a QMediaPlayer with transport controls,
+    MDVT_gui.py:326-394; here the browser <img> plays an MJPEG stream
+    / scrubs single JPEG frames). One cv2 capture per open file,
+    guarded by a lock (ThreadingHTTPServer handlers run concurrently).
+    """
+
+    def __init__(self):
+        self._caps = {}
+        self._lock = threading.Lock()
+        self._pos = {}
+
+    def _cap(self, path):
+        import cv2
+        cap = self._caps.get(path)
+        if cap is None:
+            cap = cv2.VideoCapture(path)
+            if not cap.isOpened():
+                raise FileNotFoundError(path)
+            self._caps[path] = cap
+            self._pos[path] = 0
+        return cap
+
+    def meta(self, path):
+        import cv2
+        with self._lock:
+            cap = self._cap(path)
+            return {"frames": int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+                    "fps": float(cap.get(cv2.CAP_PROP_FPS)) or 24.0,
+                    "width": int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                    "height": int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))}
+
+    def jpeg_frame(self, path, index, max_w=1280, quality=85):
+        """JPEG bytes of frame ``index`` (long side capped at max_w)."""
+        import cv2
+        with self._lock:
+            cap = self._cap(path)
+            # sequential reads (play) skip the seek; FFV1/HFYU are
+            # intra-only so random seeks are exact but slower
+            if index != self._pos[path]:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, index)
+            ok, bgr = cap.read()
+            if not ok:  # EOF / bad index: rewind and retry once
+                cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+                ok, bgr = cap.read()
+                self._pos[path] = 0
+                if not ok:
+                    raise ValueError(f"no frame {index} in {path}")
+            self._pos[path] = index + 1
+            if bgr.shape[1] > max_w:
+                s = max_w / bgr.shape[1]
+                bgr = cv2.resize(bgr, (max_w, max(1, round(
+                    bgr.shape[0] * s))), interpolation=cv2.INTER_AREA)
+            ok, buf = cv2.imencode(".jpg", bgr,
+                                   [cv2.IMWRITE_JPEG_QUALITY, quality])
+            return buf.tobytes()
+
+    def close(self):
+        with self._lock:
+            for cap in self._caps.values():
+                cap.release()
+            self._caps.clear()
+
+
 class GuiState:
     def __init__(self, project_dir):
         self.project_dir = os.path.abspath(project_dir)
@@ -63,6 +128,34 @@ class GuiState:
         self.worker = None
         self.running = False
         self.last_error = None
+        self.player = _Player()
+
+    def safe_path(self, rel):
+        """Resolve a client-supplied relative path INSIDE the project
+        dir (path traversal guard for the video endpoints)."""
+        p = os.path.realpath(os.path.join(self.project_dir, rel))
+        root = os.path.realpath(self.project_dir)
+        if not (p == root or p.startswith(root + os.sep)):
+            raise PermissionError(rel)
+        return p
+
+    def scene_files(self, scene_no):
+        """Playable artifacts of one scene, as GUI-relative paths."""
+        from metric_depth_video_toolbox_tpu.pipeline import movie
+        proj = self.project()
+        scenes = movie.plan_scene_files(proj.scenes(), proj.root)
+        for s in scenes:
+            if int(s["Scene Number"]) != int(scene_no):
+                continue
+            out = {}
+            for kind, key in (("clip", "scene_video_file"),
+                              ("depth", "depth_video_file"),
+                              ("mask", "mask_video_file"),
+                              ("sbs", "sbs"), ("infilled", "infilled")):
+                if os.path.exists(s[key]):
+                    out[kind] = os.path.relpath(s[key], self.project_dir)
+            return out
+        raise KeyError(f"scene {scene_no}")
 
     def project(self):
         return proj_mod.open_project(self.project_dir)
@@ -101,6 +194,10 @@ PAGE = """<!DOCTYPE html>
  #log{background:#0b0c0f;color:#9b9;white-space:pre;font-family:monospace;
       font-size:.8em;height:18em;overflow-y:scroll;padding:.5em;border:1px solid #333}
  input,select{background:#22252c;color:#dde;border:1px solid #555}
+ #player{display:none;position:fixed;top:4%;left:50%;transform:translateX(-50%);
+   background:#0b0c0f;border:1px solid #666;padding:.8em;z-index:9;max-width:92vw}
+ #pimg{max-width:88vw;max-height:70vh;display:block;background:#000}
+ #pbar{width:100%}
 </style></head><body>
 <h1>MDVT project <span id="root"></span></h1>
 <div>
@@ -108,10 +205,61 @@ PAGE = """<!DOCTYPE html>
  <span id="state"></span>
 </div>
 <table id="scenes"></table>
+<div id="player">
+ <div><b id="ptitle"></b>
+  <button onclick="togglePlay()" id="pbtn">play</button>
+  <span id="pframe"></span>
+  <button style="float:right" onclick="closePlayer()">close</button></div>
+ <img id="pimg">
+ <input type="range" id="pbar" min="0" max="0" value="0"
+        oninput="scrub(this.value)">
+</div>
 <h3>Config</h3><table id="config"></table>
 <h3>Log</h3><div id="log"></div>
 <script>
 let logLen = 0;
+let pv = {file:null, frames:0, fps:24, i:0, playing:false};
+async function openPlayer(scene, kind){
+  const sf = await j('/api/scene_files?scene='+scene);
+  if(sf.error || !sf.files[kind]){ alert('not produced yet'); return; }
+  pv.file = sf.files[kind]; pv.frames = sf.meta[kind].frames;
+  pv.fps = sf.meta[kind].fps; pv.i = 0; pv.playing = false;
+  document.getElementById('ptitle').textContent = 'scene '+scene+' — '+kind;
+  document.getElementById('pbar').max = Math.max(0, pv.frames-1);
+  document.getElementById('player').style.display = 'block';
+  scrub(0);
+}
+function showFrame(){
+  document.getElementById('pimg').src =
+    '/video/frame?f='+encodeURIComponent(pv.file)+'&i='+pv.i+'&t='+Date.now();
+  document.getElementById('pbar').value = pv.i;
+  document.getElementById('pframe').textContent = pv.i+' / '+pv.frames;
+}
+function scrub(v){
+  pv.playing = false; document.getElementById('pbtn').textContent='play';
+  pv.i = parseInt(v); showFrame();
+}
+function togglePlay(){
+  pv.playing = !pv.playing;
+  document.getElementById('pbtn').textContent = pv.playing ? 'pause' : 'play';
+  if(pv.playing){  // MJPEG push stream from the current position
+    document.getElementById('pimg').src =
+      '/video/stream?f='+encodeURIComponent(pv.file)+'&start='+pv.i;
+    pv.t0 = Date.now(); pv.i0 = pv.i;
+    pv.timer = setInterval(()=>{   // advance the scrubber with time
+      pv.i = Math.min(pv.frames-1,
+        pv.i0 + Math.round((Date.now()-pv.t0)/1000*pv.fps));
+      document.getElementById('pbar').value = pv.i;
+      document.getElementById('pframe').textContent = pv.i+' / '+pv.frames;
+      if(pv.i >= pv.frames-1) scrub(pv.i);
+    }, 250);
+  } else { clearInterval(pv.timer); showFrame(); }
+}
+function closePlayer(){
+  pv.playing = false; clearInterval(pv.timer);
+  document.getElementById('pimg').src = '';
+  document.getElementById('player').style.display = 'none';
+}
 async function j(url, opts){const r = await fetch(url, opts); return r.json();}
 async function refresh(){
   const st = await j('/api/status');
@@ -124,8 +272,10 @@ async function refresh(){
           '<th>override</th><th>split</th></tr>';
   for(const s of st.scenes){
     const c = x => x ? '<td class=ok>✓</td>' : '<td class=no>–</td>';
+    const p = k => `<button onclick="openPlayer(${s.scene},'${k}')">${k}</button>`;
     h += `<tr><td>${s.scene}</td><td>${s.frames}</td><td>${s.engine}</td>`+
          c(s.clip)+c(s.depth)+c(s.mask)+c(s.sbs)+c(s.infilled)+
+         `<td>`+p('clip')+p('sbs')+p('infilled')+`</td>`+
          `<td><select id="col${s.scene}"><option>Engine</option>`+
          `<option>Infill</option><option>Convergence</option></select>`+
          `<input id="val${s.scene}" size=8>`+
@@ -203,6 +353,68 @@ def make_handler(state: GuiState):
                 start = int(q.get("start", ["0"])[0])
                 lines, total = state.log.tail(start)
                 self._json({"lines": lines, "total": total})
+            elif url.path == "/api/scene_files":
+                q = urllib.parse.parse_qs(url.query)
+                try:
+                    files = state.scene_files(q["scene"][0])
+                    meta = {k: state.player.meta(state.safe_path(v))
+                            for k, v in files.items()}
+                    self._json({"files": files, "meta": meta})
+                except Exception as e:
+                    self._json({"error": str(e)}, 404)
+            elif url.path == "/video/frame":
+                q = urllib.parse.parse_qs(url.query)
+                try:
+                    path = state.safe_path(q["f"][0])
+                    idx = int(q.get("i", ["0"])[0])
+                    jpg = state.player.jpeg_frame(path, idx)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/jpeg")
+                    self.send_header("Content-Length", str(len(jpg)))
+                    self.send_header("Cache-Control", "no-store")
+                    self.end_headers()
+                    self.wfile.write(jpg)
+                except Exception as e:
+                    self._json({"error": str(e)}, 404)
+            elif url.path == "/video/stream":
+                # MJPEG push stream (multipart/x-mixed-replace): the
+                # browser <img> plays it natively; server paces at the
+                # source fps. One handler thread per viewer.
+                q = urllib.parse.parse_qs(url.query)
+                try:
+                    path = state.safe_path(q["f"][0])
+                    start = int(q.get("start", ["0"])[0])
+                    meta = state.player.meta(path)
+                except Exception as e:
+                    self._json({"error": str(e)}, 404)
+                    return
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    "multipart/x-mixed-replace; boundary=mdvtframe")
+                self.end_headers()
+                import time as _time
+                period = 1.0 / max(1.0, min(60.0, meta["fps"]))
+                i = start
+                try:
+                    while i < meta["frames"]:
+                        t0 = _time.monotonic()
+                        jpg = state.player.jpeg_frame(path, i)
+                        self.wfile.write(
+                            b"--mdvtframe\r\n"
+                            b"Content-Type: image/jpeg\r\n"
+                            b"Content-Length: %d\r\n"
+                            b"X-Frame-Index: %d\r\n\r\n"
+                            % (len(jpg), i))
+                        self.wfile.write(jpg)
+                        self.wfile.write(b"\r\n")
+                        self.wfile.flush()
+                        i += 1
+                        dt = _time.monotonic() - t0
+                        if dt < period:
+                            _time.sleep(period - dt)
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # viewer closed the player
             else:
                 self._json({"error": "not found"}, 404)
 

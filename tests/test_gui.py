@@ -94,3 +94,54 @@ def test_gui_log_buffer():
     assert buf.tail(0)[0][-1] == "f"
     buf.write(" done\n")
     assert buf.tail(0)[0][-1] == "partial done"
+
+
+def test_gui_scene_playback(tmp_path, rng):
+    """Scene player endpoints (the reference GUI's QMediaPlayer role,
+    MDVT_gui.py:326-394): file listing, JPEG frame scrub, MJPEG
+    stream, and the path-traversal guard."""
+    root = _make_project(tmp_path, rng)
+    # produce a 'clip' artifact at the planned scene path
+    frames = np.zeros((6, 24, 32, 3), np.uint8)
+    for i in range(6):
+        frames[i, :, : 4 + 4 * i] = (40 * (i + 1)) % 255
+    import os
+    vio.save_rgb_video(frames, os.path.join(root, "scene_1.mkv"), 24)
+
+    srv, state, port = gui.serve_background(root)
+    try:
+        sf = _req(port, "/api/scene_files?scene=1")
+        assert sf["files"]["clip"] == "scene_1.mkv"
+        assert "sbs" not in sf["files"]  # not produced yet
+        assert sf["meta"]["clip"]["frames"] == 6
+        assert sf["meta"]["clip"]["width"] == 32
+
+        # single-frame scrub returns a JPEG
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/video/frame?f=scene_1.mkv&i=3",
+                timeout=10) as r:
+            assert r.headers["Content-Type"] == "image/jpeg"
+            jpg = r.read()
+        assert jpg[:2] == b"\xff\xd8"  # JPEG SOI
+
+        # MJPEG stream: read the first two multipart frames
+        req = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/video/stream?f=scene_1.mkv&start=0",
+            timeout=10)
+        assert "multipart/x-mixed-replace" in req.headers["Content-Type"]
+        head = req.read(64)
+        assert b"--mdvtframe" in head and b"image/jpeg" in head
+        req.close()
+
+        # traversal guard: ../ escapes are rejected (404, no file leak)
+        err = _req(port, "/api/scene_files?scene=99")
+        assert "error" in err
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/video/frame?f=../movie.mkv",
+                timeout=10) as r:
+            pass
+    except urllib.error.HTTPError as e:
+        assert e.code == 404  # the traversal attempt must 404
+    finally:
+        state.player.close()
+        srv.shutdown()

@@ -46,6 +46,8 @@ SUBCOMMANDS = {
     "inpaint": "metric_depth_video_toolbox_tpu.cli.apply_inpainting",
     "engine": "metric_depth_video_toolbox_tpu.cli.depth_engines",
     "gui": "metric_depth_video_toolbox_tpu.cli.gui",
+    "download-weights": "metric_depth_video_toolbox_tpu.cli."
+                        "download_weights",
 }
 
 

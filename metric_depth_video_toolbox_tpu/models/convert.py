@@ -1376,51 +1376,142 @@ def convert_torch_file(path, kind, cfg=None):
 # --- weight registry (reference download_weights.py) -----------------------
 
 WEIGHT_REGISTRY = {
+    # "urls": direct-download sources (reference download_weights.py
+    # MODELS table); "hf": a Hugging Face repo id fetched as a snapshot
+    # (the reference git-clones the same repos). Both are DATA — the
+    # downloader below works wherever the network allows and degrades
+    # to local-file validation in zero-egress environments.
     "vda": {"kind": "video_depth", "files": [
-        "video_depth_anything_vits.pth", "video_depth_anything_vitl.pth"]},
+        "video_depth_anything_vits.pth", "video_depth_anything_vitl.pth"],
+        "urls": [
+            "https://huggingface.co/depth-anything/Video-Depth-Anything"
+            "-Small/resolve/main/video_depth_anything_vits.pth",
+            "https://huggingface.co/depth-anything/Video-Depth-Anything"
+            "-Large/resolve/main/video_depth_anything_vitl.pth"]},
     "da_v2_metric": {"kind": "dinov2", "files": [
-        "depth_anything_v2_metric_hypersim_vitl.pth"]},
-    "da3": {"kind": "da3", "files": ["da3nested-giant-large"]},
-    "moge": {"kind": "moge", "files": ["moge-vitl"]},
-    "unidepth": {"kind": "unidepth", "files": ["unidepth-v2-vitl14"]},
-    "unik3d": {"kind": "unik3d", "files": ["unik3d-vitl"]},
+        "depth_anything_v2_metric_hypersim_vitl.pth"],
+        "urls": [
+            "https://huggingface.co/depth-anything/Depth-Anything-V2-"
+            "Metric-Hypersim-Large/resolve/main/"
+            "depth_anything_v2_metric_hypersim_vitl.pth"]},
+    "da3": {"kind": "da3", "files": ["da3nested-giant-large"],
+            "hf": "depth-anything/DA3NESTED-GIANT-LARGE"},
+    "moge": {"kind": "moge", "files": ["moge-vitl"],
+             "hf": "Ruicheng/moge-vitl"},
+    "unidepth": {"kind": "unidepth", "files": ["unidepth-v2-vitl14"],
+                 "hf": "lpiccinelli/unidepth-v2-vitl14"},
+    "unik3d": {"kind": "unik3d", "files": ["unik3d-vitl"],
+               "hf": "lpiccinelli/unik3d-vitl"},
     "inspatio_world": {"kind": "wan", "files": [
-        "InSpatio-World-1.3B.safetensors"]},
-    "raft": {"kind": "raft", "files": ["raft-large.pth"]},
-    "stereocrafter": {"kind": "svd_unet", "files": ["stereocrafter"]},
+        "InSpatio-World-1.3B.safetensors"],
+        "urls": ["https://huggingface.co/inspatio/world/resolve/main/"
+                 "InSpatio-World-1.3B.safetensors"]},
+    "raft": {"kind": "raft", "files": ["raft-large.pth"],
+             "urls": ["https://github.com/sczhou/ProPainter/releases/"
+                      "download/v0.1.0/raft-things.pth"]},
+    "stereocrafter": {"kind": "svd_unet", "files": ["stereocrafter"],
+                      "hf": "TencentARC/StereoCrafter"},
     # m2svid ships an sgm/Hi3D full-model checkpoint (reference
     # m2svid_infill.py:487); the denoiser maps onto our SVDUNet via
     # convert_m2svid_sgm, VAE/CLIP are stock SVD weights
-    "m2svid": {"kind": "m2svid_sgm", "files": ["m2svid_weights.pt"]},
+    "m2svid": {"kind": "m2svid_sgm", "files": ["m2svid_weights.pt"],
+               "urls": ["https://storage.googleapis.com/gresearch/"
+                        "m2svid/m2svid_weights.pt"]},
     # DepthCrafter / GeometryCrafter are SVD fine-tunes: same UNet+VAE
     # layout, converted by the stereocrafter converters and loaded into
     # pipeline.depth.{DepthCrafter,GeometryCrafter}Engine(cfg=SVDConfig())
-    "depthcrafter": {"kind": "svd_unet", "files": ["DepthCrafter"]},
-    "geometrycrafter": {"kind": "svd_unet", "files": ["GeometryCrafter"]},
+    "depthcrafter": {"kind": "svd_unet", "files": ["DepthCrafter"],
+                     "hf": "tencent/DepthCrafter"},
+    "geometrycrafter": {"kind": "svd_unet", "files": ["GeometryCrafter"],
+                        "hf": "TencentARC/GeometryCrafter"},
     # the dedicated point-map VAE (TencentARC/GeometryCrafter,
     # subfolder point_map_vae — reference geometrycrafter_video.py:311)
     "geometrycrafter_pmap_vae": {
-        "kind": "pmap_vae", "files": ["GeometryCrafter/point_map_vae"]},
-    "u2net": {"kind": "u2net", "files": ["u2net.onnx"]},
-    "cotracker3": {"kind": "cotracker3", "files": ["scaled_offline.pth"]},
+        "kind": "pmap_vae", "files": ["GeometryCrafter/point_map_vae"],
+        "hf": "TencentARC/GeometryCrafter"},
+    "u2net": {"kind": "u2net", "files": ["u2net.onnx"],
+              "urls": ["https://github.com/danielgatis/rembg/releases/"
+                       "download/v0.0.0/u2net.onnx"]},
+    "cotracker3": {"kind": "cotracker3", "files": ["scaled_offline.pth"],
+                   "urls": ["https://huggingface.co/facebook/cotracker3/"
+                            "resolve/main/scaled_offline.pth"]},
     # the Mega-SAM tracker net (reference sam_track_video.py:171)
-    "megasam": {"kind": "droid", "files": ["megasam_final.pth"]},
-    "depthpro": {"kind": "depthpro_hf", "files": ["DepthPro-hf"]},
+    "megasam": {"kind": "droid", "files": ["megasam_final.pth"],
+                "urls": ["https://github.com/mega-sam/mega-sam/raw/main/"
+                         "checkpoints/megasam_final.pth"]},
+    "depthpro": {"kind": "depthpro_hf", "files": ["DepthPro-hf"],
+                 "hf": "apple/DepthPro-hf"},
     "clip_vith": {"kind": "clip_vision", "files": [
-        "CLIP-ViT-H-14-laion2B-s32B-b79K"]},
+        "CLIP-ViT-H-14-laion2B-s32B-b79K"],
+        "hf": "laion/CLIP-ViT-H-14-laion2B-s32B-b79K"},
 }
 
 
-def download_weights(name, dest_dir="weights"):
-    """Reference download_weights.py equivalent. In zero-egress
-    environments this only validates that files already exist locally."""
+def weight_sources(name):
+    """(urls, hf_repo_or_None) for a registry entry — the download
+    plan, exposed for --dry_run and tests."""
+    entry = WEIGHT_REGISTRY[name]
+    return list(entry.get("urls", ())), entry.get("hf")
+
+
+def download_weights(name, dest_dir="weights", dry_run=False,
+                     _urlretrieve=None, _snapshot=None):
+    """Reference download_weights.py equivalent: fetch the published
+    checkpoints for ``name`` into ``dest_dir`` (direct URLs via urllib,
+    Hugging Face repos via huggingface_hub snapshots), skipping files
+    already present. In zero-egress environments behaves as before —
+    validates local presence and names what is missing and from where.
+    ``dry_run`` prints the plan without touching the network.
+    ``_urlretrieve``/``_snapshot`` are test seams."""
     os.makedirs(dest_dir, exist_ok=True)
     entry = WEIGHT_REGISTRY[name]
+    urls, hf_repo = weight_sources(name)
+    missing = [f for f in entry["files"]
+               if not os.path.exists(os.path.join(dest_dir, f))]
+    if not missing:
+        return [os.path.join(dest_dir, f) for f in entry["files"]]
+    if dry_run:
+        for u in urls:
+            print(f"would download {u}")
+        if hf_repo:
+            print(f"would snapshot https://huggingface.co/{hf_repo}")
+        return []
+    errors = []
+    for i, u in enumerate(urls):
+        # urls pair positionally with files when the counts match;
+        # otherwise the url's basename is the local name
+        target = os.path.join(
+            dest_dir, entry["files"][i] if len(urls) == len(entry["files"])
+            else os.path.basename(u))
+        if os.path.exists(target):
+            continue
+        try:
+            import urllib.request
+            fetch = _urlretrieve or urllib.request.urlretrieve
+            print(f"downloading {u} -> {target}")
+            fetch(u, target + ".part")
+            os.replace(target + ".part", target)
+        except Exception as e:
+            errors.append(f"{u}: {e}")
+    if hf_repo:
+        folder = os.path.join(dest_dir, entry["files"][0].split("/")[0])
+        if not os.path.exists(folder):
+            try:
+                if _snapshot is None:
+                    from huggingface_hub import snapshot_download
+                else:
+                    snapshot_download = _snapshot
+                print(f"snapshotting {hf_repo} -> {folder}")
+                snapshot_download(repo_id=hf_repo, local_dir=folder)
+            except Exception as e:
+                errors.append(f"{hf_repo}: {e}")
     missing = [f for f in entry["files"]
                if not os.path.exists(os.path.join(dest_dir, f))]
     if missing:
         raise FileNotFoundError(
-            f"weights for '{name}' not present locally: {missing}. "
-            f"Place the torch checkpoints in {dest_dir}/ and run "
+            f"weights for '{name}' not present locally: {missing}"
+            + (f" (download errors: {'; '.join(errors)})" if errors
+               else "") +
+            f". Place the torch checkpoints in {dest_dir}/ and run "
             f"models.convert.convert_torch_file on them.")
     return [os.path.join(dest_dir, f) for f in entry["files"]]

@@ -40,6 +40,7 @@ PAIRS = [
     ("depthcrafter_video.py", "depth_engines.py"),
     ("geometrycrafter_video.py", "depth_engines.py"),
     ("video_mvsa.py", "depth_engines.py"),
+    ("download_weights.py", "download_weights.py"),
 ]
 
 # reference flags with no meaning on this runtime (documented waivers)

@@ -35,10 +35,14 @@ class ViTConfig:
     layerscale_init: float = 1.0
     out_indices: Sequence[int] = (2, 5, 8, 11)
     dtype: str = "bfloat16"
-    # 'flash' = Pallas TPU flash-attention kernel (scores never touch
-    # HBM; sequence padded to a 512 multiple with segment-id masking);
-    # 'xla' = jax.nn.dot_product_attention. 'flash' silently falls back
-    # to 'xla' off-TPU (tests/CPU) and for tiny head dims.
+    # 'flash' = Pallas TPU flash-attention kernel fed from the packed
+    # qkv projection via ONE fused relayout (the naive split/reshape/
+    # transpose chain measured ~148 ms/iter = 19% of the ViT-L forward
+    # on v5e; see _flash_attention). Sequence must be padded to a 512
+    # multiple (the ViT does this once up front) with segment-id
+    # masking. 'xla' = jax.nn.dot_product_attention. 'flash' silently
+    # falls back to 'xla' off-TPU (tests/CPU), for tiny head dims, and
+    # for unpadded sequences.
     attention_impl: str = "flash"
     # DA3-style input-adaptive cross-view self-attention: in the listed
     # block indices attention runs over the CONCATENATED tokens of all
@@ -76,38 +80,45 @@ VIT_TINY = ViTConfig(embed_dim=64, depth=4, num_heads=4,
 PRESETS["vitt"] = VIT_TINY
 
 
-def _flash_attention(q, k, v, valid=None, conservative=False):
-    """Pallas TPU flash attention over (B, N, H, HD) bf16 tensors.
+def _flash_attention(qkv5, valid=None, conservative=False):
+    """Stock Pallas TPU flash attention fed from the packed qkv output.
 
-    Pads N to a 512 multiple and masks the padding with segment ids so
-    softmax statistics are exact; scores stay in VMEM (the XLA path
-    round-trips the (N, N) bf16 score tensor through HBM, which measures
-    memory-bound at ViT-L token counts on v5e).
+    FALLBACK path: models whose head count is a multiple of 8 (ViT-L
+    16, ViT-G 24) use ops/attention_pallas.packed_flash_attention
+    instead, which consumes the qkv projection output directly and
+    relayouts in VMEM — zero HBM layout copies. This wrapper covers
+    the rest (ViT-S 6, ViT-B 12 heads).
 
-    ``valid``: (N,) bool marking real tokens when the caller already
-    padded the sequence (the ViT pads ONCE for the whole depth —
-    per-layer pads measured 36 ms/iter of pure data movement at ViT-L/
-    batch 16). Valid tokens share one segment id, pads another, so
-    interleaved pads (e.g. the cross-view concatenation of per-view
-    padded sequences) are masked exactly.
+    qkv5: (B, N, 3, H, HD) bf16 — a FREE bitcast view of the fused qkv
+    dense output (B, N, 3*D). The q/k/v extraction + head split +
+    (B, H, N, HD) relayout the stock kernel needs is done as ONE fused
+    XLA transpose of this tensor; the previous split -> reshape -> per-
+    tensor transpose chain materialized ~148 ms/iter of copies at
+    ViT-L batch 32 on v5e (19% of the whole forward), where the single
+    transpose measures ~58 ms.
+
+    N must already be padded to a 512 multiple by the caller (the ViT
+    pads ONCE for the whole depth — per-layer pads measured 36 ms/iter
+    of pure data movement at ViT-L/batch 16).
+
+    ``valid``: (N,) bool marking real tokens. Valid tokens share one
+    segment id, pads another, so interleaved pads (e.g. the cross-view
+    concatenation of per-view padded sequences) are masked exactly.
+    Scores stay in VMEM (the XLA path round-trips the (N, N) bf16 score
+    tensor through HBM, which measures memory-bound at ViT-L token
+    counts on v5e).
     """
     from jax.experimental.pallas.ops.tpu import flash_attention as fa_mod
 
-    b, n, h, hd = q.shape
-    np_ = ((n + 511) // 512) * 512
-
-    def to_bhnd(t):
-        t = t.transpose(0, 2, 1, 3)
-        if np_ > n:
-            t = jnp.pad(t, ((0, 0), (0, 0), (0, np_ - n), (0, 0)))
-        return t
+    b, n, _, h, hd = qkv5.shape
+    assert n % 512 == 0, n
+    qkvT = jnp.transpose(qkv5, (2, 0, 3, 1, 4))     # (3, B, H, N, HD)
+    q, k, v = qkvT[0], qkvT[1], qkvT[2]             # free slices
 
     if valid is None:
-        seg = (jax.lax.broadcasted_iota(jnp.int32, (b, np_), 1) < n)
+        seg = jnp.ones((b, n), jnp.int32)
     else:
-        seg = jnp.broadcast_to(
-            jnp.pad(valid, (0, np_ - n))[None], (b, np_))
-    seg = seg.astype(jnp.int32)
+        seg = jnp.broadcast_to(valid.astype(jnp.int32)[None], (b, n))
     sids = fa_mod.SegmentIds(q=seg, kv=seg)
     # block sizes: measured on v5e at the production ViT-L shape
     # (32x16x2560x64): bq 1280 / bkm full / bk 1280 runs the
@@ -119,16 +130,16 @@ def _flash_attention(q, k, v, valid=None, conservative=False):
     # (``conservative``): the int8 path's extra scoped-VMEM buffers
     # pushed the 1280/full config 504 KB past the 16 MB budget at
     # (32, 16, 2560, 64) — BENCH_r03 recorded NaN for the whole mode.
-    if np_ % 1280 == 0 and not conservative:
-        bs = fa_mod.BlockSizes(block_q=1280, block_k_major=np_,
+    if n % 1280 == 0 and not conservative:
+        bs = fa_mod.BlockSizes(block_q=1280, block_k_major=n,
                                block_k=1280, block_b=1)
     else:
-        bs = fa_mod.BlockSizes(block_q=min(4096, np_), block_k_major=512,
+        bs = fa_mod.BlockSizes(block_q=min(4096, n), block_k_major=512,
                                block_k=512, block_b=1)
     out = fa_mod.flash_attention(
-        to_bhnd(q), to_bhnd(k), to_bhnd(v), segment_ids=sids,
+        q, k, v, segment_ids=sids,
         causal=False, sm_scale=1.0 / float(hd) ** 0.5, block_sizes=bs)
-    return out[:, :, :n, :].transpose(0, 2, 1, 3)
+    return out.transpose(0, 2, 1, 3)                # (B, N, H, HD)
 
 
 class QDense(nn.Module):
@@ -167,23 +178,44 @@ class Attention(nn.Module):
         sequence is pre-padded (shared across the batch)."""
         c = self.cfg
         d = c.embed_dim
+        hd = d // c.num_heads
         qkv = _dense(c, 3 * d, "qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def heads(t):
-            return t.reshape(t.shape[:-1] + (c.num_heads, d // c.num_heads))
-        q, k, v = heads(q), heads(k), heads(v)
-        q = q.astype(c.compute_dtype)
-        k = k.astype(c.compute_dtype)
-        v = v.astype(c.compute_dtype)
         use_flash = (c.attention_impl == "flash"
                      and jax.default_backend() == "tpu"
-                     and d // c.num_heads >= 64
-                     and c.dtype == "bfloat16")
-        if use_flash:
-            out = _flash_attention(q, k, v, valid=valid,
+                     and hd >= 64
+                     and c.dtype == "bfloat16"
+                     and qkv.shape[1] % 512 == 0)
+        if use_flash and c.num_heads % 8 == 0:
+            # packed kernel: reads q/k/v straight out of the projection
+            # output (free bitcast), relayouts in VMEM — zero HBM
+            # layout copies (see ops/attention_pallas.py)
+            from metric_depth_video_toolbox_tpu.ops import attention_pallas
+            b_, n_ = qkv.shape[0], qkv.shape[1]
+            qkv4 = qkv.astype(c.compute_dtype).reshape(
+                b_, n_, 3 * c.num_heads, hd)
+            valid_v = (valid if valid is not None
+                       else jnp.ones((n_,), jnp.int32))
+            out = attention_pallas.packed_flash_attention(
+                qkv4, valid_v, num_heads=c.num_heads,
+                sm_scale=1.0 / float(hd) ** 0.5)
+        elif use_flash:
+            # stock kernel path for head counts the packed kernel's
+            # 8-head grouping cannot cover (ViT-S 6, ViT-B 12)
+            b_, n_ = qkv.shape[0], qkv.shape[1]
+            qkv5 = qkv.astype(c.compute_dtype).reshape(
+                b_, n_, 3, c.num_heads, hd)
+            out = _flash_attention(qkv5, valid=valid,
                                    conservative=c.quant == "int8")
         else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
+            def heads(t):
+                return t.reshape(
+                    t.shape[:-1] + (c.num_heads, d // c.num_heads))
+            q, k, v = heads(q), heads(k), heads(v)
+            q = q.astype(c.compute_dtype)
+            k = k.astype(c.compute_dtype)
+            v = v.astype(c.compute_dtype)
             # fused XLA attention: still avoids the f32 score tensor;
             # mask pad KEYS out of the softmax when present (pad query
             # rows produce garbage that is positionally sliced off later
@@ -314,7 +346,11 @@ class ViT(nn.Module):
             else:
                 x = blk(x, valid=valid)
             if i in wanted:
-                stored[i] = final_norm(x[:, :n_real])
+                # cast to compute dtype right away: the DPT head's convs
+                # cast their input anyway, so this is numerically
+                # identical and halves the bytes of 4 materialized
+                # (B, N, D) feature tensors in bf16 mode
+                stored[i] = final_norm(x[:, :n_real]).astype(c.compute_dtype)
         xn = final_norm(x[:, :n_real])
         # select in out_indices order (duplicates allowed, e.g. tiny configs)
         feats = [stored[i] for i in c.out_indices]

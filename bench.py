@@ -13,10 +13,43 @@ z-buffer splat for both eyes) on this host, as prescribed by SURVEY.md §6.
 from __future__ import annotations
 
 import json
+import os
 import time
 from functools import partial
 
 import numpy as np
+
+_T_START = time.perf_counter()
+# Total wall budget: the round-4 driver run timed out (rc=124) before
+# ANY JSON was printed — the cold-process remote compile of the stereo
+# program alone took ~470 s and the detail benches (diffusion UNet at
+# 1024x768, VDA engine) each add minutes of compile. Strategy: persist
+# compiled executables across processes (cache dir below, warmed during
+# the round so the driver's fresh process hits it), print the headline
+# JSON as soon as the headline metrics exist, and start a detail bench
+# only while inside the budget. The final reprint includes every detail
+# that fit; a timeout kill between prints still leaves a valid line.
+_BUDGET_S = float(os.environ.get("MDVT_BENCH_BUDGET_S", "480"))
+
+
+def _remaining():
+    return _BUDGET_S - (time.perf_counter() - _T_START)
+
+
+def _enable_compile_cache():
+    import jax
+
+    cache = os.environ.get(
+        "MDVT_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # cache is an optimization, never a failure
+        print(f"# compile cache unavailable: {e}")
 
 H, W = 1080, 1920
 BATCH = 16
@@ -270,32 +303,11 @@ def bench_reference_equivalent_numpy(n_frames=3):
     return 1.0 / float(np.median(times))
 
 
-def main():
-    stereo_fps = bench_stereo()  # movie config: edge points + mask ON
-    stereo_fps_rand = bench_stereo(scene="random")  # adversarial scene
-    depth_fps = bench_depth_inference("vitl")  # DEPTH_BATCH
-    try:  # opt-in int8 speed mode, reported as a detail metric
-        depth_fps_int8 = bench_depth_inference("vitl", quant="int8")
-    except Exception as e:
-        print(f"# int8 depth bench failed: {e}")
-        depth_fps_int8 = float("nan")
-    try:
-        e2e_fps = bench_e2e_file_to_file()
-    except Exception as e:  # never lose the headline to an IO hiccup
-        print(f"# e2e bench failed: {e}")
-        e2e_fps = float("nan")
-    try:
-        infill_fps = bench_infill_diffusion()
-    except Exception as e:
-        print(f"# diffusion infill bench failed: {e}")
-        infill_fps = float("nan")
-    try:
-        vda_fps = bench_vda_engine()
-    except Exception as e:
-        print(f"# vda engine bench failed: {e}")
-        vda_fps = float("nan")
+def _emit(stereo_fps, depth_fps, ref_fps, detail):
+    """Print the ONE headline JSON line (reprinted as details land —
+    the driver takes the last line, and a timeout kill between prints
+    still leaves a complete earlier line)."""
     combined = 1.0 / (1.0 / stereo_fps + 1.0 / depth_fps)
-    ref_fps = bench_reference_equivalent_numpy(n_frames=5)
     # reference pipeline also needs depth inference; its stereo path alone
     # is the dominant cost we can measure here, so compare combined vs it.
     result = {
@@ -303,18 +315,54 @@ def main():
         "value": round(combined, 3),
         "unit": "frames/s",
         "vs_baseline": round(combined / ref_fps, 2),
-        "detail": {
-            "stereo_render_fps_movie_cfg": round(stereo_fps, 3),
-            "stereo_render_fps_random_depth": round(stereo_fps_rand, 3),
-            "depth_inference_fps_vitl_518": round(depth_fps, 3),
-            "depth_inference_fps_vitl_518_int8": round(depth_fps_int8, 3),
-            "e2e_file_to_file_stereo_fps": round(e2e_fps, 3),
-            "diffusion_infill_fps_svd_25x1024x768": round(infill_fps, 3),
-            "vda_engine_fps_vitl": round(vda_fps, 3),
-            "reference_equiv_numpy_fps": round(ref_fps, 3),
-        },
+        "detail": {k: round(v, 3) for k, v in detail.items()},
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+
+def main():
+    _enable_compile_cache()
+    # ---- headline metrics first; emit as soon as they exist ----
+    stereo_fps = bench_stereo()  # movie config: edge points + mask ON
+    print(f"# [{time.perf_counter() - _T_START:.0f}s] stereo "
+          f"{stereo_fps:.2f} fps", flush=True)
+    depth_fps = bench_depth_inference("vitl")  # DEPTH_BATCH
+    print(f"# [{time.perf_counter() - _T_START:.0f}s] depth "
+          f"{depth_fps:.2f} fps", flush=True)
+    ref_fps = bench_reference_equivalent_numpy(n_frames=5)
+    detail = {
+        "stereo_render_fps_movie_cfg": stereo_fps,
+        "depth_inference_fps_vitl_518": depth_fps,
+        "reference_equiv_numpy_fps": ref_fps,
+    }
+    _emit(stereo_fps, depth_fps, ref_fps, detail)
+
+    # ---- detail metrics, budget-gated, cheapest-compile first ----
+    nan = float("nan")
+    details = [
+        ("stereo_render_fps_random_depth",  # shares the stereo program
+         lambda: bench_stereo(scene="random"), 30),
+        ("depth_inference_fps_vitl_518_int8",
+         lambda: bench_depth_inference("vitl", quant="int8"), 90),
+        ("e2e_file_to_file_stereo_fps", bench_e2e_file_to_file, 120),
+        ("vda_engine_fps_vitl", bench_vda_engine, 120),
+        ("diffusion_infill_fps_svd_25x1024x768",
+         bench_infill_diffusion, 180),
+    ]
+    for name, fn, min_need in details:
+        if _remaining() < min_need:
+            print(f"# skipping {name}: {_remaining():.0f}s left "
+                  f"< {min_need}s budget", flush=True)
+            detail[name] = nan
+            continue
+        try:
+            detail[name] = fn()
+        except Exception as e:
+            print(f"# {name} failed: {e}", flush=True)
+            detail[name] = nan
+        print(f"# [{time.perf_counter() - _T_START:.0f}s] {name} "
+              f"{detail[name]:.2f}", flush=True)
+        _emit(stereo_fps, depth_fps, ref_fps, detail)
 
 
 if __name__ == "__main__":

@@ -35,15 +35,21 @@ class ViTConfig:
     layerscale_init: float = 1.0
     out_indices: Sequence[int] = (2, 5, 8, 11)
     dtype: str = "bfloat16"
-    # 'flash' = Pallas TPU flash-attention kernel fed from the packed
-    # qkv projection via ONE fused relayout (the naive split/reshape/
-    # transpose chain measured ~148 ms/iter = 19% of the ViT-L forward
-    # on v5e; see _flash_attention). Sequence must be padded to a 512
-    # multiple (the ViT does this once up front) with segment-id
-    # masking. 'xla' = jax.nn.dot_product_attention. 'flash' silently
-    # falls back to 'xla' off-TPU (tests/CPU), for tiny head dims, and
-    # for unpadded sequences.
-    attention_impl: str = "flash"
+    # 'xla' (DEFAULT) = jax.nn.dot_product_attention. Re-measured
+    # round 5 on v5e at the production ViT-L config (518x924, batch
+    # 32): the full forward runs 47.6 fps with 'xla' vs 39.6 fps with
+    # 'flash' — this JAX's XLA attention now beats the stock Pallas
+    # flash kernel at ViT token counts, and needs NO 512-padding of
+    # the sequence (the pad-once machinery below only engages for the
+    # Pallas kernels). 'flash' = stock Pallas TPU flash-attention
+    # kernel fed from the packed qkv projection via ONE fused relayout
+    # (see _flash_attention); kept selectable for configs where VMEM-
+    # resident scores win. 'flash' silently falls back to 'xla'
+    # off-TPU (tests/CPU), for tiny head dims, and for unpadded
+    # sequences. 'flash_packed' = experimental packed-qkv Pallas
+    # kernel (ops/attention_pallas.py) — measured slower than both;
+    # opt-in only.
+    attention_impl: str = "xla"
     # DA3-style input-adaptive cross-view self-attention: in the listed
     # block indices attention runs over the CONCATENATED tokens of all
     # views in a group (same qkv/proj weights — parameter-free, so any
@@ -83,19 +89,19 @@ PRESETS["vitt"] = VIT_TINY
 def _flash_attention(qkv5, valid=None, conservative=False):
     """Stock Pallas TPU flash attention fed from the packed qkv output.
 
-    FALLBACK path: models whose head count is a multiple of 8 (ViT-L
-    16, ViT-G 24) use ops/attention_pallas.packed_flash_attention
-    instead, which consumes the qkv projection output directly and
-    relayouts in VMEM — zero HBM layout copies. This wrapper covers
-    the rest (ViT-S 6, ViT-B 12 heads).
+    This is the DEFAULT TPU attention path for every head count.
+    (ops/attention_pallas.packed_flash_attention — an experiment in
+    moving the head relayout into VMEM — measured ~4x slower at the
+    production ViT-L shape and is opt-in only; see its docstring.)
 
     qkv5: (B, N, 3, H, HD) bf16 — a FREE bitcast view of the fused qkv
     dense output (B, N, 3*D). The q/k/v extraction + head split +
     (B, H, N, HD) relayout the stock kernel needs is done as ONE fused
     XLA transpose of this tensor; the previous split -> reshape -> per-
     tensor transpose chain materialized ~148 ms/iter of copies at
-    ViT-L batch 32 on v5e (19% of the whole forward), where the single
-    transpose measures ~58 ms.
+    ViT-L batch 32 on v5e (19% of the whole forward). Re-measured
+    round 5 (isolated attention subgraph incl. this transpose,
+    32x16x2560x64 v5e): ~20 ms/iter.
 
     N must already be padded to a 512 multiple by the caller (the ViT
     pads ONCE for the whole depth — per-layer pads measured 36 ms/iter
@@ -134,7 +140,12 @@ def _flash_attention(qkv5, valid=None, conservative=False):
         bs = fa_mod.BlockSizes(block_q=1280, block_k_major=n,
                                block_k=1280, block_b=1)
     else:
-        bs = fa_mod.BlockSizes(block_q=min(4096, n), block_k_major=512,
+        # block_q must DIVIDE the padded length; n is a 512 multiple
+        # but not necessarily a 4096 one (e.g. n=4608), so take the
+        # largest 512-multiple divisor of n that fits in 4096.
+        bq = max(q for q in range(512, min(4096, n) + 1, 512)
+                 if n % q == 0)
+        bs = fa_mod.BlockSizes(block_q=bq, block_k_major=512,
                                block_k=512, block_b=1)
     out = fa_mod.flash_attention(
         q, k, v, segment_ids=sids,
@@ -185,10 +196,15 @@ class Attention(nn.Module):
                      and hd >= 64
                      and c.dtype == "bfloat16"
                      and qkv.shape[1] % 512 == 0)
-        if use_flash and c.num_heads % 8 == 0:
-            # packed kernel: reads q/k/v straight out of the projection
-            # output (free bitcast), relayouts in VMEM — zero HBM
-            # layout copies (see ops/attention_pallas.py)
+        if (c.attention_impl == "flash_packed"
+                and jax.default_backend() == "tpu"
+                and c.num_heads % 8 == 0 and hd >= 64
+                and c.dtype == "bfloat16" and qkv.shape[1] % 512 == 0):
+            # opt-in experimental kernel (ops/attention_pallas.py).
+            # MEASURED SLOWER than the stock path at the production
+            # ViT-L shape (32x16x2560x64 on v5e: ~80 ms vs ~20 ms for
+            # the attention subgraph) and its large-block configs
+            # exceed scoped VMEM — kept for reference, NOT the default.
             from metric_depth_video_toolbox_tpu.ops import attention_pallas
             b_, n_ = qkv.shape[0], qkv.shape[1]
             qkv4 = qkv.astype(c.compute_dtype).reshape(
@@ -197,10 +213,9 @@ class Attention(nn.Module):
                        else jnp.ones((n_,), jnp.int32))
             out = attention_pallas.packed_flash_attention(
                 qkv4, valid_v, num_heads=c.num_heads,
-                sm_scale=1.0 / float(hd) ** 0.5)
+                sm_scale=1.0 / float(hd) ** 0.5,
+                block_q=128, block_k=512)
         elif use_flash:
-            # stock kernel path for head counts the packed kernel's
-            # 8-head grouping cannot cover (ViT-S 6, ViT-B 12)
             b_, n_ = qkv.shape[0], qkv.shape[1]
             qkv5 = qkv.astype(c.compute_dtype).reshape(
                 b_, n_, 3, c.num_heads, hd)
@@ -321,9 +336,9 @@ class ViT(nn.Module):
         # ids and sliced off at extraction; LN/MLP on them is the 4.8%
         # tax that buys aligned shapes everywhere.
         n_real = gh * gw + 1
-        n_pad = (-n_real) % 512 if (c.attention_impl == "flash"
-                                    and jax.default_backend() == "tpu"
-                                    ) else 0
+        n_pad = (-n_real) % 512 if (
+            c.attention_impl in ("flash", "flash_packed")
+            and jax.default_backend() == "tpu") else 0
         if n_pad:
             x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
 

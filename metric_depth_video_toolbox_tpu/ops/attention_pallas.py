@@ -1,13 +1,30 @@
 """Pallas TPU flash attention over the PACKED qkv projection output.
 
-Why this kernel exists (measured, ViT-L 518x924, batch 32, v5e): the
-stock path — qkv dense -> split -> per-head reshape -> transpose to
-(B, H, N, D) for ``jax.experimental.pallas...flash_attention`` — spends
-~148 ms/iter (19% of the whole forward) in HBM layout copies that XLA
-materializes between the projection and the kernel (expressing the
-relayout as one fused 5-D transpose measured no better: XLA decomposes
-it back into per-slice copies). This kernel consumes the projection
-output directly through a free bitcast:
+STATUS: opt-in experiment (cfg.attention_impl='flash_packed'), NOT the
+default. Measured on v5e at the production ViT-L attention shape
+(32x16x2560x64), isolated attention subgraph including the relayout:
+
+    packed kernel (this file), best compiling blocks (128, 512):  ~80 ms
+    stock flash kernel fed via ONE fused 5-D transpose (vit.py):  ~20 ms
+    jax.nn.dot_product_attention (XLA), same transpose:           ~16 ms
+
+The hypothesis was that the token-major -> head-major HBM relayout
+between the qkv projection and the stock kernel could be moved into
+VMEM for free; in practice the in-kernel jnp.swapaxes forces Mosaic
+into strided VMEM loads that starve the MXU, and the (8, bq, bk) f32
+score temporaries push large-block configs past the 16 MB scoped-VMEM
+budget (block_k >= 512 with block_q >= 256 fails to compile at ViT-L
+dims). The single fused 5-D transpose in models/vit.py already
+eliminates the ~148 ms/iter split/reshape/transpose copy chain that
+motivated this kernel, which removes its reason to exist as a default.
+
+Retained because the packed-qkv consumption pattern (free bitcast of
+the projection output; dim-2 index = role*H + head, the torch/DINOv2
+fused-qkv row layout) is the right interface for a future fused
+projection+attention kernel. Original design notes follow.
+
+This kernel consumes the projection output directly through a free
+bitcast:
 
     qkv  = Dense(3*D_model)(x)             # (B, N, 3*D_model), bf16
     qkv4 = qkv.reshape(B, N, 3*H, D)       # FREE bitcast, no copy

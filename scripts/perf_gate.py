@@ -36,6 +36,7 @@ def run_gate(quick=False):
     """
     import bench
 
+    bench._enable_compile_cache()
     if quick:
         bench.ITERS = 3
         bench.DEPTH_ITERS = 2

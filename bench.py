@@ -58,6 +58,25 @@ DEPTH_BATCH = 32
 DEPTH_ITERS = 4
 
 
+def _synth_cached(fn, tag, rng_seed, b):
+    """Disk-cache the deterministic synthetic batches: generating 132M
+    gaussians for the 1080p scene costs ~27 s of the bench's budget on
+    this 1-core host. Keyed by (generator, seed, batch, H, W)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".bench_cache",
+                        f"{tag}_s{rng_seed}_b{b}_{H}x{W}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return z["depth"], z["color"]
+    depth, color = fn(np.random.default_rng(rng_seed), b)
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez(path, depth=depth, color=color)
+    except OSError:
+        pass
+    return depth, color
+
+
 def _synth_batch(rng, b):
     """Piecewise-smooth scene statistics, like real depth-model output.
 
@@ -123,9 +142,8 @@ def bench_stereo(jit_warm=True, scene="smooth", fused=None):
     from metric_depth_video_toolbox_tpu.ops import codec, geometry as geo
     from metric_depth_video_toolbox_tpu.pipeline import stereo
 
-    rng = np.random.default_rng(0)
     synth = _synth_batch if scene == "smooth" else _synth_batch_random
-    depth, color = synth(rng, BATCH)
+    depth, color = _synth_cached(synth, scene, 0, BATCH)
     kw = {} if fused is None else {"fused_anchor_sweep": fused}
     cfg = stereo.StereoConfig(width=W, height=H, out_width=W, out_height=H,
                               max_depth=100.0, remove_edges=True,
@@ -170,8 +188,7 @@ def bench_e2e_file_to_file(n_frames=24):
     from metric_depth_video_toolbox_tpu.ops import codec
     from metric_depth_video_toolbox_tpu.pipeline import stereo
 
-    rng = np.random.default_rng(2)
-    depth, color = _synth_batch(rng, 4)
+    depth, color = _synth_cached(_synth_batch, "smooth", 2, 4)
     enc = jax.jit(lambda d: codec.encode_depth_frame(d, 100.0))
     depth_rgb = np.asarray(enc(jnp.asarray(depth)))
     with tempfile.TemporaryDirectory() as td:
@@ -271,8 +288,7 @@ def bench_reference_equivalent_numpy(n_frames=3):
     does on host (unproject -> transform -> project -> 2x z-buffer splat),
     as the baseline denominator. The host core is shared, so the median
     of per-frame timings is reported."""
-    rng = np.random.default_rng(0)
-    depth, color = _synth_batch(rng, 1)
+    depth, color = _synth_cached(_synth_batch, "smooth", 0, 1)
     depth, color = depth[0], color[0]
     fx = W / (2 * np.tan(np.radians(30.0)))
     cx, cy = W / 2, H / 2

@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from metric_depth_video_toolbox_tpu.utils import host as host_mod
 from metric_depth_video_toolbox_tpu.utils.host import robust_call, to_host
 from metric_depth_video_toolbox_tpu.models import dpt as dpt_mod
 from metric_depth_video_toolbox_tpu.models import vit as vit_mod
@@ -260,9 +261,48 @@ def stitch_windows(window_disps, window, overlap, total):
     return full[:total]
 
 
+def _pack_disparity16(d, layout):
+    """Device side: f32 (T, h, w) disparity -> 16-bit quantized
+    hi/lo byte planes, tile-bitpacked for the slow D2H tunnel.
+
+    Quantization step = (max-min)/65535 per window — below the 16-bit
+    depth-save codec's own step (SURVEY.md §0: the reference stores
+    ~1.5 mm steps at 100 m), and the hi-byte plane of smooth neural
+    disparity is near-flat so it packs to almost nothing."""
+    from metric_depth_video_toolbox_tpu.ops import tilepack
+
+    lo = jnp.min(d)
+    hi = jnp.max(d)
+    q = jnp.round((d - lo) / jnp.maximum(hi - lo, 1e-12)
+                  * 65535.0).astype(jnp.uint32)
+    planes = jnp.stack([(q >> 8).astype(jnp.uint8),
+                        (q & 255).astype(jnp.uint8)], axis=-1)
+    out = tilepack.pack(planes, layout)
+    out["dmin"] = lo
+    out["dmax"] = hi
+    return out
+
+
+def _fetch_packed_disparity(run_fn, args, layout):
+    """Host side: fetch meta + only the occupied buckets, unpack,
+    dequantize. Exact inverse of _pack_disparity16 up to the 16-bit
+    quantization."""
+    from metric_depth_video_toolbox_tpu.ops import tilepack
+
+    host_meta, device_out = host_mod.robust_call_select(
+        run_fn, *args, keys=["bids", "counts", "dmin", "dmax"])
+    buckets = tilepack.fetch_buckets(host_meta, device_out,
+                                     host_mod.to_host)
+    planes = tilepack.unpack(host_meta["bids"], buckets, layout)
+    q = (planes[..., 0].astype(np.uint16) << 8) | planes[..., 1]
+    lo = float(host_meta["dmin"])
+    hi = float(host_meta["dmax"])
+    return lo + q.astype(np.float32) * ((hi - lo) / 65535.0)
+
+
 def infer_video_depth(apply_fn, params, frames_u8, work_hw, out_hw,
                       window=32, overlap=8, batch_hook=None, mesh=None,
-                      transfer_hw=None):
+                      transfer_hw=None, pack_transfer=False):
     """Sliding-window video depth over an arbitrary-length clip.
 
     frames_u8: (T, H, W, 3) uint8. Returns (T, out_h, out_w) float32
@@ -299,6 +339,10 @@ def infer_video_depth(apply_fn, params, frames_u8, work_hw, out_hw,
     # arrays are lowered as MLIR constants (a full device->host copy of
     # every weight at trace time).
     fetch_hw = tuple(transfer_hw or out_hw)
+    layout = None
+    if pack_transfer:
+        from metric_depth_video_toolbox_tpu.ops import tilepack
+        layout = tilepack.PackLayout(window, fetch_hw[0], fetch_hw[1], 2)
 
     @jax.jit
     def run_window(p, win_u8):
@@ -306,9 +350,14 @@ def infer_video_depth(apply_fn, params, frames_u8, work_hw, out_hw,
         x = jax.image.resize(x, (window, work_hw[0], work_hw[1], 3),
                              "bilinear")
         d = apply_fn(p, x)
-        if d.shape[1:3] == fetch_hw:
-            return d
-        return jax.image.resize(d, (window,) + fetch_hw, "bilinear")
+        if d.shape[1:3] != fetch_hw:
+            d = jax.image.resize(d, (window,) + fetch_hw, "bilinear")
+        if pack_transfer:
+            # the (T, h, w) f32 fetch dominates wall time on tunneled
+            # runtimes (single-digit MB/s D2H); 16-bit quantize +
+            # tile-bitpack cuts it ~5x for smooth neural disparity
+            return _pack_disparity16(d, layout)
+        return d
 
     disps = []
     start = 0
@@ -316,7 +365,11 @@ def infer_video_depth(apply_fn, params, frames_u8, work_hw, out_hw,
         idx = np.arange(start, start + window)
         idx = np.clip(idx, 0, t_total - 1)  # pad tail by repeating
         win = frames_u8[idx]
-        d = robust_call(run_window, params, put(win))
+        if pack_transfer:
+            d = _fetch_packed_disparity(run_window, (params, put(win)),
+                                        layout)
+        else:
+            d = robust_call(run_window, params, put(win))
         if batch_hook is not None:
             batch_hook(start, d)
         n_new = min(window, t_total - start)

@@ -43,6 +43,19 @@ def _upsample_bilinear(frames, out_hw):
                    dst=out[i], interpolation=cv2.INTER_LINEAR)
     return out
 
+
+def _downsample_bilinear(frames, out_hw):
+    """(T, H, W) float32 -> (T, out_h, out_w), cv2 INTER_AREA-free
+    plain bilinear to mirror jax.image.resize on the fit path."""
+    import cv2
+
+    out = np.empty((frames.shape[0],) + tuple(out_hw), np.float32)
+    for i in range(frames.shape[0]):
+        cv2.resize(frames[i], (out_hw[1], out_hw[0]),
+                   dst=out[i], interpolation=cv2.INTER_LINEAR)
+    return out
+
+
 ENGINES: Dict[str, Callable] = {}
 
 
@@ -154,7 +167,18 @@ class VDAEngine:
             self._apply, self._params, frames_u8,
             work_hw, (h, w), window=self.cfg.window,
             overlap=self.cfg.overlap, mesh=self._mesh,
-            transfer_hw=work_hw if tunneled else None)
+            transfer_hw=work_hw if tunneled else None,
+            # 16-bit quantized tile-bitpack of the disparity fetch:
+            # the dense f32 fetch (61 MB/window at ViT-L work res)
+            # measured as THE vda-engine bottleneck on the tunnel
+            pack_transfer=tunneled)
+        # scale/shift fitting happens at the fetched resolution (the
+        # fit is a per-pixel least squares; bilinear downsampling both
+        # sides is statistically equivalent and avoids fetching the
+        # anchor at full res over the tunnel), so keep the work-res
+        # disparity and the matching anchor resolution around
+        disp_fit = disp
+        anchor_hw = disp.shape[1:3]
         if disp.shape[1:3] != (h, w):
             disp = _upsample_bilinear(disp, (h, w))
 
@@ -166,6 +190,10 @@ class VDAEngine:
             idx = np.arange(0, t, self.anchor_stride)
             if reference_depth is not None:
                 anchor_depth = np.asarray(reference_depth)[idx]
+                anchor_fit = (_downsample_bilinear(anchor_depth,
+                                                   anchor_hw)
+                              if anchor_depth.shape[1:3] != anchor_hw
+                              else anchor_depth)
             else:
                 chunks = []
                 for i in range(0, len(idx), 16):
@@ -173,11 +201,11 @@ class VDAEngine:
                         da.infer_depth, self._anchor_apply,
                         self._anchor_params,
                         jnp.asarray(frames_u8[idx[i:i + 16]]),
-                        (h, w), work_hw))
-                anchor_depth = np.concatenate(chunks, axis=0)
+                        anchor_hw, work_hw))
+                anchor_fit = np.concatenate(chunks, axis=0)
             s_t, t_t = solvers.rolling_scale_shift(
-                disp[idx], 1.0 / np.maximum(anchor_depth, 1e-3), idx, t,
-                window=self.rolling_average)
+                disp_fit[idx], 1.0 / np.maximum(anchor_fit, 1e-3), idx,
+                t, window=self.rolling_average)
             inv = disp * s_t[:, None, None] + t_t[:, None, None]
             depth = 1.0 / np.maximum(inv, 1e-6)
             depth[inv <= 0] = self.max_depth
@@ -186,15 +214,18 @@ class VDAEngine:
         # metric anchor on the first N frames (reference :105-125)
         n_anchor = min(self.metric_anchor_frames, t)
         if reference_depth is not None:
-            anchor_depth = reference_depth[:n_anchor]
+            anchor_depth = np.asarray(reference_depth[:n_anchor])
+            anchor_fit = (_downsample_bilinear(anchor_depth, anchor_hw)
+                          if anchor_depth.shape[1:3] != anchor_hw
+                          else anchor_depth)
         else:
-            anchor_depth = robust_call(
+            anchor_fit = robust_call(
                 da.infer_depth, self._anchor_apply,
                 self._anchor_params, jnp.asarray(frames_u8[:n_anchor]),
-                (h, w), work_hw)
+                anchor_hw, work_hw)
         s, sh = to_host(jax.jit(solvers.scale_and_shift)(
-            jnp.asarray(disp[:n_anchor]),
-            1.0 / jnp.maximum(jnp.asarray(anchor_depth), 1e-3)))
+            jnp.asarray(disp_fit[:n_anchor]),
+            1.0 / jnp.maximum(jnp.asarray(anchor_fit), 1e-3)))
         inv = disp * float(s) + float(sh)
         depth = 1.0 / np.maximum(inv, 1e-6)
         # negative/invalid inverse depth -> clamp to max (reference :139-142)

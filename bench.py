@@ -156,20 +156,36 @@ def bench_stereo(jit_warm=True, scene="smooth", fused=None):
     enc = jax.jit(lambda d: codec.encode_depth_frame(d, 100.0))
     depth_rgb = np.asarray(enc(jnp.asarray(depth)))
 
-    # the timed program ends in an on-device checksum that is fetched
-    # every iteration: on this runtime block_until_ready can acknowledge
-    # before execution completes, so only a data dependency is truthful
+    # ITERS batches run CHAINED on device: each iteration's input takes
+    # a (numerically zero, non-foldable: 0.0*float can be NaN) data
+    # dependency on the previous checksum, so the device executes them
+    # strictly serially, and ONE scalar fetch ends the program. This
+    # measures true device throughput — the per-iteration host fetch it
+    # replaces added a tunnel round trip (~1 ms/frame) that the
+    # production driver's async pipeline never pays. (A bare
+    # block_until_ready is NOT truthful on this runtime — it can
+    # acknowledge before execution completes — hence the checksum
+    # dependency chain.)
     vstep = jax.vmap(partial(stereo.stereo_frame, cfg=cfg),
                      in_axes=(0, 0, None, None, None, None, None))
-    step = jax.jit(lambda *a: (
-        lambda o: (o["image"].astype(jnp.int32).sum()
-                   + o["infill_mask"].astype(jnp.int32).sum()))(vstep(*a)))
+
+    def chk(o):
+        return (o["image"].astype(jnp.int32).sum()
+                + o["infill_mask"].astype(jnp.int32).sum())
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run_n(d, c, k1, k2, tf, conv, sc, n):
+        def body(_, acc):
+            o = vstep(d, c, k1, k2, tf,
+                      conv + 0.0 * acc.astype(jnp.float32) * 1e-30, sc)
+            return chk(o)
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
     args = (jnp.asarray(depth_rgb), jnp.asarray(color), jnp.asarray(k),
             jnp.asarray(k), jnp.eye(4), jnp.asarray(2.0), jnp.asarray(1.0))
-    _ = float(np.asarray(step(*args)))
+    _ = float(np.asarray(run_n(*args, n=ITERS)))
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        _ = float(np.asarray(step(*args)))
+    _ = float(np.asarray(run_n(*args, n=ITERS)))
     dt = time.perf_counter() - t0
     return BATCH * ITERS / dt
 
@@ -231,11 +247,19 @@ def bench_depth_inference(size="vits", batch=None, hw=(14 * 37, 14 * 66),
         0, 1, (batch,) + hw + (3,)).astype(np.float32))
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     jax.block_until_ready(params)
-    fwd = jax.jit(lambda p, v: jnp.sum(model.apply(p, v)))
-    _ = float(np.asarray(fwd(params, x)))
+
+    # chained iterations, one end fetch — same truth argument as
+    # bench_stereo (per-iter fetch taxed ~1.7 fps of tunnel RTT)
+    @partial(jax.jit, static_argnames=("n",))
+    def run_n(p, v, n):
+        def body(_, acc):
+            return jnp.sum(model.apply(
+                p, v + (0.0 * acc * 1e-30).astype(v.dtype)))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    _ = float(np.asarray(run_n(params, x, DEPTH_ITERS)))
     t0 = time.perf_counter()
-    for _ in range(DEPTH_ITERS):
-        _ = float(np.asarray(fwd(params, x)))
+    _ = float(np.asarray(run_n(params, x, DEPTH_ITERS)))
     dt = time.perf_counter() - t0
     return batch * DEPTH_ITERS / dt
 

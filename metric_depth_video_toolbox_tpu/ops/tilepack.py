@@ -125,18 +125,27 @@ def fetch_buckets(host_meta, device_out, to_host, prefix=""):
     """Fetch only count-many rows of each width array (power-of-two
     buckets bound the sliced-program set). ``host_meta`` must already
     hold 'counts' on host; returns {width: ndarray}. ``prefix`` maps
-    to the caller's output-dict key names (e.g. 'img_')."""
+    to the caller's output-dict key names (e.g. 'img_').
+
+    All occupied buckets go through ONE pytree to_host call: on the
+    tunneled runtime each fetch pays a fixed round trip, and four
+    sequential bucket fetches per batch measured as real wall time in
+    the VDA packed-disparity path."""
     counts = np.asarray(host_meta[prefix + "counts"])
-    got = {}
+    want = {}
     for k, width in enumerate(WIDTHS, start=1):
         cnt = int(counts[k])
         if cnt == 0:
-            got[width] = None
             continue
         cap = device_out[f"{prefix}b{width}"].shape[0]
         bucket = min(cap, max(1 << 10, 1 << (cnt - 1).bit_length()))
-        got[width] = to_host(device_out[f"{prefix}b{width}"][:bucket])[:cnt]
-    return got
+        want[width] = device_out[f"{prefix}b{width}"][:bucket]
+    fetched = to_host(want)
+    if not isinstance(fetched, dict):  # plain per-array fetchers
+        fetched = {wd: to_host(v) for wd, v in want.items()}
+    return {width: (fetched[width][: int(counts[k])]
+                    if width in fetched else None)
+            for k, width in enumerate(WIDTHS, start=1)}
 
 
 def _unpack_width_np(rows, b):

@@ -283,14 +283,16 @@ def _pack_disparity16(d, layout):
     return out
 
 
-def _fetch_packed_disparity(run_fn, args, layout):
-    """Host side: fetch meta + only the occupied buckets, unpack,
-    dequantize. Exact inverse of _pack_disparity16 up to the 16-bit
-    quantization."""
+def _fetch_packed_buckets(device_out, layout):
+    """Host side: fetch meta + only the occupied buckets of an
+    already-dispatched pack, unpack, dequantize. Exact inverse of
+    _pack_disparity16 up to the 16-bit quantization. Raises
+    DeviceFetchTimeout (no internal retry) so the caller can
+    re-dispatch the whole window."""
     from metric_depth_video_toolbox_tpu.ops import tilepack
 
-    host_meta, device_out = host_mod.robust_call_select(
-        run_fn, *args, keys=["bids", "counts", "dmin", "dmax"])
+    host_meta = to_host({k: device_out[k]
+                         for k in ("bids", "counts", "dmin", "dmax")})
     buckets = tilepack.fetch_buckets(host_meta, device_out,
                                      host_mod.to_host)
     planes = tilepack.unpack(host_meta["bids"], buckets, layout)
@@ -298,6 +300,12 @@ def _fetch_packed_disparity(run_fn, args, layout):
     lo = float(host_meta["dmin"])
     hi = float(host_meta["dmax"])
     return lo + q.astype(np.float32) * ((hi - lo) / 65535.0)
+
+
+def _fetch_packed_disparity(run_fn, args, layout):
+    """Dispatch + packed fetch in one call (the non-pipelined path and
+    the re-dispatch fallback)."""
+    return _fetch_packed_buckets(run_fn(*args), layout)
 
 
 def infer_video_depth(apply_fn, params, frames_u8, work_hw, out_hw,
@@ -359,24 +367,55 @@ def infer_video_depth(apply_fn, params, frames_u8, work_hw, out_hw,
             return _pack_disparity16(d, layout)
         return d
 
-    disps = []
-    start = 0
-    while start < t_total:
-        idx = np.arange(start, start + window)
-        idx = np.clip(idx, 0, t_total - 1)  # pad tail by repeating
-        win = frames_u8[idx]
-        if pack_transfer:
-            d = _fetch_packed_disparity(run_window, (params, put(win)),
-                                        layout)
-        else:
-            d = robust_call(run_window, params, put(win))
-        if batch_hook is not None:
-            batch_hook(start, d)
-        n_new = min(window, t_total - start)
-        disps.append(d[:n_new])
-        if start + window >= t_total:
+    # dispatch-ahead double buffering: window N+1's device compute is
+    # dispatched BEFORE window N's (slow, tunnel-bound) fetch blocks
+    # the host, so fetch and compute overlap — jax dispatch is async,
+    # the data dependency chain stays exact, and a wedged fetch still
+    # falls back to a fresh dispatch (the robust_call contract).
+    starts = []
+    s = 0
+    while s < t_total:
+        starts.append(s)
+        if s + window >= t_total:
             break
-        start += step
+        s += step
+
+    def dispatch(s0):
+        idx = np.clip(np.arange(s0, s0 + window), 0, t_total - 1)
+        return run_window(params, put(frames_u8[idx]))
+
+    def fetch(s0, dev_out):
+        if pack_transfer:
+            try:
+                return _fetch_packed_buckets(dev_out, layout)
+            except host_mod.DeviceFetchTimeout:
+                # re-dispatch whole window (robust_call semantics)
+                return _fetch_packed_disparity(
+                    run_window, (params,
+                                 put(frames_u8[np.clip(
+                                     np.arange(s0, s0 + window), 0,
+                                     t_total - 1)])), layout)
+        try:
+            return to_host(dev_out)
+        except host_mod.DeviceFetchTimeout:
+            return robust_call(run_window, params, put(frames_u8[
+                np.clip(np.arange(s0, s0 + window), 0, t_total - 1)]))
+
+    disps = []
+    pending = (starts[0], dispatch(starts[0]))
+    for nxt in starts[1:]:
+        ahead = (nxt, dispatch(nxt))
+        s0, dev = pending
+        d = fetch(s0, dev)
+        if batch_hook is not None:
+            batch_hook(s0, d)
+        disps.append(d[: min(window, t_total - s0)])
+        pending = ahead
+    s0, dev = pending
+    d = fetch(s0, dev)
+    if batch_hook is not None:
+        batch_hook(s0, d)
+    disps.append(d[: min(window, t_total - s0)])
     if len(disps) == 1:
         return disps[0][:t_total]
     return stitch_windows(disps, window, overlap, t_total)

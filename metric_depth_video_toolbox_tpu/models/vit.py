@@ -79,6 +79,13 @@ VIT_G = ViTConfig(embed_dim=1536, depth=40, num_heads=24,
 
 PRESETS = {"vits": VIT_S, "vitb": VIT_B, "vitl": VIT_L, "vitg": VIT_G}
 
+# above this many tokens the 'xla' attention path would materialize an
+# (N, N) score tensor too large to schedule (DA3 cross-view at
+# production dims: ~46 views x ~2.6k tokens = ~120k -> a 920 GB f32
+# allocation); such calls reroute through the flash kernel, which is
+# sub-quadratic in memory by construction.
+_XLA_SCORE_TOKEN_LIMIT = 16384
+
 # Tiny config for tests/smoke runs (also exposed as --model_size vitt).
 
 VIT_TINY = ViTConfig(embed_dim=64, depth=4, num_heads=4,
@@ -137,7 +144,11 @@ def _flash_attention(qkv5, valid=None, conservative=False):
     # pushed the 1280/full config 504 KB past the 16 MB budget at
     # (32, 16, 2560, 64) — BENCH_r03 recorded NaN for the whole mode.
     if n % 1280 == 0 and not conservative:
-        bs = fa_mod.BlockSizes(block_q=1280, block_k_major=n,
+        # block_k_major = whole sequence was the measured-best config
+        # at ViT-L's n=2560; it must stay capped — the cross-view
+        # reroute calls this with n ~ 120k, where a full-sequence
+        # k-major block would not fit VMEM
+        bs = fa_mod.BlockSizes(block_q=1280, block_k_major=min(n, 2560),
                                block_k=1280, block_b=1)
     else:
         # block_q must DIVIDE the padded length; n is a 512 multiple
@@ -221,6 +232,27 @@ class Attention(nn.Module):
                 b_, n_, 3, c.num_heads, hd)
             out = _flash_attention(qkv5, valid=valid,
                                    conservative=c.quant == "int8")
+        elif (jax.default_backend() == "tpu" and hd >= 64
+                and c.dtype == "bfloat16"
+                and qkv.shape[1] >= _XLA_SCORE_TOKEN_LIMIT):
+            # XLA attention at huge sequence lengths materializes the
+            # (N, N) score tensor: DA3's cross-view blocks concatenate
+            # ~46 views x ~2.6k tokens = ~120k tokens, a 920 GB f32
+            # allocation that cannot compile. Route through the flash
+            # kernel with a LOCAL 512-pad (masked via the valid
+            # vector, sliced off after) — the sub-quadratic-memory
+            # formulation is mandatory here, not a speed preference.
+            b_, n_ = qkv.shape[0], qkv.shape[1]
+            n_pad = (-n_) % 512
+            base_valid = (valid if valid is not None
+                          else jnp.ones((n_,), bool))
+            vpad = jnp.pad(base_valid.astype(bool), (0, n_pad))
+            qkvp = jnp.pad(qkv.astype(c.compute_dtype),
+                           ((0, 0), (0, n_pad), (0, 0)))
+            qkv5 = qkvp.reshape(b_, n_ + n_pad, 3, c.num_heads, hd)
+            out = _flash_attention(qkv5, valid=vpad,
+                                   conservative=c.quant == "int8")
+            out = out[:, :n_]
         else:
             q, k, v = jnp.split(qkv, 3, axis=-1)
 

@@ -65,6 +65,11 @@ def run_gate(quick=False):
         "diffusion_infill_fps_svd_25x1024x768":
             lambda: bench.bench_infill_diffusion(),
         "vda_engine_fps_vitl": lambda: bench.bench_vda_engine(),
+        # the movie pipeline's DEFAULT engine at production dims (DA3_L
+        # windowed cross-view): round 5 found it could not even compile
+        # on TPU (920 GB score tensor) — gate it so that class of break
+        # is caught
+        "da3_engine_fps_prod": lambda: bench.bench_da3_engine(),
     }
 
     ok = True

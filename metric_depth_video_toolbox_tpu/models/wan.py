@@ -278,11 +278,21 @@ def _apply_rope(x, cos, sin):
     return jnp.stack([y0, y1], axis=-1).reshape(x.shape)
 
 
+# above this many tokens the dense (N, N) block-causal mask + scores
+# cannot be materialized (the production 225-frame inspatio chunk is
+# ~89k tokens -> a ~16 GB mask alone); reroute through the streaming
+# Pallas kernel (ops/blockcausal_pallas.py), which is O(tile) memory
+_DENSE_MASK_TOKEN_LIMIT = 16384
+
+
 class WanSelfAttention(nn.Module):
     cfg: WanConfig
 
     @nn.compact
-    def __call__(self, x, rope, mask):
+    def __call__(self, x, rope, block_ids):
+        """``block_ids``: (N,) int32 nondecreasing frame-block index
+        per token; query i sees key j iff block_ids[j] <=
+        block_ids[i] (the causal-student regime)."""
         c = self.cfg
         hd = c.dim // c.heads
         dt = c.compute_dtype
@@ -296,9 +306,33 @@ class WanSelfAttention(nn.Module):
         v = heads(nn.Dense(c.dim, dtype=dt, name="v")(x))
         q = _apply_rope(q, *rope)
         k = _apply_rope(k, *rope)
-        out = jax.nn.dot_product_attention(
-            q.astype(dt), k.astype(dt), v.astype(dt),
-            bias=mask[None, None])
+        n = x.shape[1]
+        if (jax.default_backend() == "tpu"
+                and n >= _DENSE_MASK_TOKEN_LIMIT and hd % 128 == 0):
+            from metric_depth_video_toolbox_tpu.ops import \
+                blockcausal_pallas as bc
+            n_pad = (-n) % 256
+            # single pad id = max+1: as keys the pads are invisible to
+            # every real query; as queries they see everything (finite
+            # garbage, sliced off below)
+            ids = jnp.concatenate([
+                block_ids.astype(jnp.int32),
+                jnp.full((n_pad,), jnp.max(block_ids) + 1, jnp.int32)])
+
+            def bhnd(t):
+                t = jnp.transpose(t.astype(dt), (0, 2, 1, 3))
+                return jnp.pad(t, ((0, 0), (0, 0), (0, n_pad), (0, 0)))
+            out = bc.block_causal_flash_attention(
+                bhnd(q), bhnd(k), bhnd(v), ids,
+                sm_scale=1.0 / float(hd) ** 0.5)
+            out = jnp.transpose(out[:, :, :n], (0, 2, 1, 3))
+        else:
+            mask = jnp.where(
+                block_ids[None, :] <= block_ids[:, None], 0.0, -1e9
+            ).astype(dt)
+            out = jax.nn.dot_product_attention(
+                q.astype(dt), k.astype(dt), v.astype(dt),
+                bias=mask[None, None])
         out = out.reshape(x.shape[0], x.shape[1], c.dim)
         return nn.Dense(c.dim, dtype=dt, name="o")(out)
 
@@ -336,10 +370,12 @@ class WanBlock(nn.Module):
     cfg: WanConfig
 
     @nn.compact
-    def __call__(self, x, e, ctx, rope, mask):
+    def __call__(self, x, e, ctx, rope, block_ids):
         """x: (B, N, D); e: (B, T, 6, D) per-frame modulation (already
         time_projection output); tokens are frame-major so e broadcasts
-        over each frame's spatial tokens; ctx: (B, n_ctx, D)."""
+        over each frame's spatial tokens; ctx: (B, n_ctx, D);
+        block_ids: (N,) per-token frame-block index (see
+        WanSelfAttention)."""
         c = self.cfg
         mod = self.param("modulation", nn.initializers.normal(0.02),
                          (1, 6, c.dim))
@@ -352,7 +388,7 @@ class WanBlock(nn.Module):
         dt = c.compute_dtype
         y = (_ln_noaffine(x).astype(jnp.float32) * (1 + sc1) + sh1)
         y = WanSelfAttention(c, name="self_attn")(y.astype(dt), rope,
-                                                  mask)
+                                                  block_ids)
         x = x + (g1 * y.astype(jnp.float32)).astype(x.dtype)
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                          name="norm3")(x)
@@ -425,13 +461,11 @@ class WanDiT(nn.Module):
         rope = rope_3d(c.dim // c.heads, t, hp, wp)
         # block-causal attention: token i (frame fi) sees token j iff
         # block(fj) <= block(fi)
-        fb = jnp.arange(t) // c.block_frames
-        fb = jnp.repeat(fb, hp * wp)
-        mask = jnp.where(fb[None, :] <= fb[:, None], 0.0, -1e9
-                         ).astype(dt)
+        fb = jnp.repeat(jnp.arange(t, dtype=jnp.int32)
+                        // c.block_frames, hp * wp)
 
         for i in range(c.layers):
-            tok = WanBlock(c, name=f"block{i}")(tok, e6, ctx, rope, mask)
+            tok = WanBlock(c, name=f"block{i}")(tok, e6, ctx, rope, fb)
 
         # output head: modulated norm + linear to patch pixels
         hm = self.param("head_modulation", nn.initializers.normal(0.02),

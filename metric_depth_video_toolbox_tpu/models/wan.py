@@ -311,7 +311,9 @@ class WanSelfAttention(nn.Module):
                 and n >= _DENSE_MASK_TOKEN_LIMIT and hd % 128 == 0):
             from metric_depth_video_toolbox_tpu.ops import \
                 blockcausal_pallas as bc
-            n_pad = (-n) % 256
+            n_pad = (-n) % 1024  # 1024-blocks: 5.8x over 256-blocks
+            # (measured at the Wan production shape 1x12x89kx128 on
+            # v5e: 244 ms vs 1421 ms per attention call)
             # single pad id = max+1: as keys the pads are invisible to
             # every real query; as queries they see everything (finite
             # garbage, sliced off below)
@@ -324,7 +326,8 @@ class WanSelfAttention(nn.Module):
                 return jnp.pad(t, ((0, 0), (0, 0), (0, n_pad), (0, 0)))
             out = bc.block_causal_flash_attention(
                 bhnd(q), bhnd(k), bhnd(v), ids,
-                sm_scale=1.0 / float(hd) ** 0.5)
+                sm_scale=1.0 / float(hd) ** 0.5,
+                block_q=1024, block_k=1024)
             out = jnp.transpose(out[:, :, :n], (0, 2, 1, 3))
         else:
             mask = jnp.where(

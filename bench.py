@@ -29,7 +29,7 @@ _T_START = time.perf_counter()
 # JSON as soon as the headline metrics exist, and start a detail bench
 # only while inside the budget. The final reprint includes every detail
 # that fit; a timeout kill between prints still leaves a valid line.
-_BUDGET_S = float(os.environ.get("MDVT_BENCH_BUDGET_S", "480"))
+_BUDGET_S = float(os.environ.get("MDVT_BENCH_BUDGET_S", "560"))
 
 
 def _remaining():
@@ -437,7 +437,7 @@ def main():
         ("e2e_file_to_file_stereo_fps", bench_e2e_file_to_file, 120),
         ("vda_engine_fps_vitl", bench_vda_engine, 120),
         ("diffusion_infill_fps_svd_25x1024x768",
-         bench_infill_diffusion, 180),
+         bench_infill_diffusion, 120),
         ("da3_engine_fps_prod", bench_da3_engine, 150),
     ]
     for name, fn, min_need in details:

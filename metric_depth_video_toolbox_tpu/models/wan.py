@@ -124,22 +124,62 @@ def _causal_conv(x, ch, kt, k, stride_t, stride_hw, dtype, name):
         name=name)(x)
 
 
+def _stream_conv(conv, stride_t, x, cache):
+    """Apply a causal temporal conv (front-pad kt-1 = 2 baked into the
+    module) in STREAMING form: prepend the carried last-2-input-frames
+    cache, run the same module (same params), slice off the leading
+    outputs that correspond to the zero pad. cache=None (first
+    segment) uses zeros — identical to the full-video front pad, so
+    chunked == full exactly (tests/test_wan_stream.py).
+
+    stride_t=2 segments must arrive with even length (the engine picks
+    x4 segment lengths); the final segment may be ragged."""
+    b, _, h, w, c = x.shape
+    if cache is None:
+        cache = jnp.zeros((b, 2, h, w, c), x.dtype)
+    xin = jnp.concatenate([cache, x.astype(cache.dtype)], axis=1)
+    y = conv(xin)
+    y = y[:, 2:] if stride_t == 1 else y[:, 1:]
+    return y, xin[:, -2:]
+
+
 class VAEResBlock3D(nn.Module):
+    """setup-style so ``stream`` (chunked causal inference, per-conv
+    frame caches) shares the exact same parameters/param paths as
+    ``__call__`` (full-video)."""
     ch: int
     dtype: jnp.dtype
+    in_ch: int | None = None  # set when != ch so setup makes the skip
 
-    @nn.compact
-    def __call__(self, x):
-        y = FrameGroupNorm(min(8, self.ch), name="norm1")(x)
-        y = _causal_conv(nn.silu(y), self.ch, 3, 3, 1, 1, self.dtype,
-                         "conv1")
-        y = FrameGroupNorm(min(8, self.ch), name="norm2")(y)
-        y = _causal_conv(nn.silu(y), self.ch, 3, 3, 1, 1, self.dtype,
-                         "conv2")
+    def setup(self):
+        ph = 1
+        self.norm1 = FrameGroupNorm(min(8, self.ch), name="norm1")
+        self.conv1 = nn.Conv(self.ch, (3, 3, 3),
+                             padding=((2, 0), (ph, ph), (ph, ph)),
+                             dtype=self.dtype, name="conv1")
+        self.norm2 = FrameGroupNorm(min(8, self.ch), name="norm2")
+        self.conv2 = nn.Conv(self.ch, (3, 3, 3),
+                             padding=((2, 0), (ph, ph), (ph, ph)),
+                             dtype=self.dtype, name="conv2")
+        if self.in_ch is not None and self.in_ch != self.ch:
+            self.skip = nn.Conv(self.ch, (1, 1, 1), dtype=self.dtype,
+                                name="skip")
+
+    def _skip(self, x):
         if x.shape[-1] != self.ch:
-            x = nn.Conv(self.ch, (1, 1, 1), dtype=self.dtype,
-                        name="skip")(x)
-        return x + y
+            return self.skip(x)
+        return x
+
+    def __call__(self, x):
+        y = self.conv1(nn.silu(self.norm1(x)))
+        y = self.conv2(nn.silu(self.norm2(y)))
+        return self._skip(x) + y
+
+    def stream(self, x, cache):
+        c1, c2 = (None, None) if cache is None else cache
+        y, c1 = _stream_conv(self.conv1, 1, nn.silu(self.norm1(x)), c1)
+        y, c2 = _stream_conv(self.conv2, 1, nn.silu(self.norm2(y)), c2)
+        return self._skip(x) + y, (c1, c2)
 
 
 class WanVAEEncoder(nn.Module):
@@ -148,60 +188,132 @@ class WanVAEEncoder(nn.Module):
     Two causal temporal stride-2 convs (kernel 3, front-pad 2) give
     exactly (T+3)//4 latent frames for T = 4k-3 — the Wan VAE frame
     contract the reference chunking is built around
-    (inspatio_world_infill.py:221-236)."""
+    (inspatio_world_infill.py:221-236).
+
+    ``stream``: exact chunked inference with per-conv frame caches —
+    at the production chunk (225 frames @ 480x832) the full-video stem
+    activation alone is ~17 GB and cannot fit one chip's HBM; chunked
+    segments bound it. Segment contract: every segment except the last
+    must have length % 4 == 0 (the two temporal stride-2 convs need
+    even segment lengths at their levels); cache=None starts the
+    stream (zero front pad, identical to the full-video pad)."""
     cfg: WanVAEConfig
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
         c, dt = self.cfg.ch, self.cfg.compute_dtype
-        x = _causal_conv(x.astype(dt), c, 3, 3, 1, 1, dt, "stem")
-        x = VAEResBlock3D(c, dt, name="res0")(x)
-        x = _causal_conv(x, c * 2, 3, 3, 1, 2, dt, "down0")  # (1,2,2)
-        x = VAEResBlock3D(c * 2, dt, name="res1")(x)
-        x = _causal_conv(x, c * 4, 3, 3, 2, 2, dt, "down1")  # (2,2,2)
-        x = VAEResBlock3D(c * 4, dt, name="res2")(x)
-        x = _causal_conv(x, c * 4, 3, 3, 2, 2, dt, "down2")  # (2,2,2)
-        x = VAEResBlock3D(c * 4, dt, name="res3")(x)
-        x = FrameGroupNorm(8, name="norm_out")(x)
-        return nn.Conv(self.cfg.z_ch, (1, 1, 1), dtype=jnp.float32,
-                       name="head")(nn.silu(x))
+        ph = 1
+
+        def cconv(ch, st, shw, name):
+            return nn.Conv(ch, (3, 3, 3), strides=(st, shw, shw),
+                           padding=((2, 0), (ph, ph), (ph, ph)),
+                           dtype=dt, name=name)
+        self.stem = cconv(c, 1, 1, "stem")
+        self.res0 = VAEResBlock3D(c, dt, name="res0")
+        self.down0 = cconv(c * 2, 1, 2, "down0")   # (1,2,2)
+        self.res1 = VAEResBlock3D(c * 2, dt, name="res1")
+        self.down1 = cconv(c * 4, 2, 2, "down1")   # (2,2,2)
+        self.res2 = VAEResBlock3D(c * 4, dt, name="res2")
+        self.down2 = cconv(c * 4, 2, 2, "down2")   # (2,2,2)
+        self.res3 = VAEResBlock3D(c * 4, dt, name="res3")
+        self.norm_out = FrameGroupNorm(8, name="norm_out")
+        self.head = nn.Conv(self.cfg.z_ch, (1, 1, 1),
+                            dtype=jnp.float32, name="head")
+
+    def __call__(self, x):
+        dt = self.cfg.compute_dtype
+        x = self.stem(x.astype(dt))
+        x = self.res0(x)
+        x = self.down0(x)
+        x = self.res1(x)
+        x = self.down1(x)
+        x = self.res2(x)
+        x = self.down2(x)
+        x = self.res3(x)
+        return self.head(nn.silu(self.norm_out(x)))
+
+    def stream(self, x, cache):
+        dt = self.cfg.compute_dtype
+        cc = ([None] * 8 if cache is None else cache)
+        x, c0 = _stream_conv(self.stem, 1, x.astype(dt), cc[0])
+        x, c1 = self.res0.stream(x, cc[1])
+        x, c2 = _stream_conv(self.down0, 1, x, cc[2])
+        x, c3 = self.res1.stream(x, cc[3])
+        x, c4 = _stream_conv(self.down1, 2, x, cc[4])
+        x, c5 = self.res2.stream(x, cc[5])
+        x, c6 = _stream_conv(self.down2, 2, x, cc[6])
+        x, c7 = self.res3.stream(x, cc[7])
+        z = self.head(nn.silu(self.norm_out(x)))
+        return z, [c0, c1, c2, c3, c4, c5, c6, c7]
+
+
+def _up(t, hw):
+    def f(y):
+        b, tt, h, w, ch = y.shape
+        y = jnp.repeat(y, t, axis=1) if t > 1 else y
+        y = jax.image.resize(
+            y, (b, y.shape[1], h * hw, w * hw, ch),
+            "nearest").astype(y.dtype)
+        return y
+    return f
 
 
 class WanVAEDecoder(nn.Module):
-    """(B, k, h, w, z_ch) -> (B, 4k-3, 8h, 8w, 3) in [-1,1]."""
+    """(B, k, h, w, z_ch) -> (B, 4k-3, 8h, 8w, 3) in [-1,1].
+
+    ``stream``: exact chunked decode (see WanVAEEncoder.stream — the
+    decoder's temporal mixing is all stride-1 causal convs plus
+    stateless per-latent repeats, so ANY segment lengths are legal;
+    the caller trims the 3 lead-in frames of the FIRST segment,
+    matching the full-video ``[:, 3:]``)."""
     cfg: WanVAEConfig
 
-    @nn.compact
-    def __call__(self, z):
+    def setup(self):
         c, dt = self.cfg.ch, self.cfg.compute_dtype
-        x = nn.Conv(c * 4, (1, 1, 1), dtype=dt, name="stem")(z.astype(dt))
-        x = VAEResBlock3D(c * 4, dt, name="res0")(x)
+        ph = 1
 
-        def up(t, hw):
-            def f(y):
-                b, tt, h, w, ch = y.shape
-                y = jnp.repeat(y, t, axis=1) if t > 1 else y
-                y = jax.image.resize(
-                    y, (b, y.shape[1], h * hw, w * hw, ch),
-                    "nearest").astype(y.dtype)
-                return y
-            return f
+        def cconv(ch, name):
+            return nn.Conv(ch, (3, 3, 3),
+                           padding=((2, 0), (ph, ph), (ph, ph)),
+                           dtype=dt, name=name)
+        self.stem = nn.Conv(c * 4, (1, 1, 1), dtype=dt, name="stem")
+        self.res0 = VAEResBlock3D(c * 4, dt, name="res0")
+        self.upconv0 = cconv(c * 4, "upconv0")
+        self.res1 = VAEResBlock3D(c * 2, dt, in_ch=c * 4, name="res1")
+        self.upconv1 = cconv(c * 2, "upconv1")
+        self.res2 = VAEResBlock3D(c, dt, in_ch=c * 2, name="res2")
+        self.upconv2 = cconv(c, "upconv2")
+        self.res3 = VAEResBlock3D(c, dt, name="res3")
+        self.norm_out = FrameGroupNorm(min(8, c), name="norm_out")
+        self.head = nn.Conv(3, (1, 1, 1), dtype=jnp.float32,
+                            name="head")
 
-        x = up(2, 2)(x)
-        x = _causal_conv(x, c * 4, 3, 3, 1, 1, dt, "upconv0")
-        x = VAEResBlock3D(c * 2, dt, name="res1")(x)
-        x = up(2, 2)(x)
-        x = _causal_conv(x, c * 2, 3, 3, 1, 1, dt, "upconv1")
-        x = VAEResBlock3D(c, dt, name="res2")(x)
-        x = up(1, 2)(x)
-        x = _causal_conv(x, c, 3, 3, 1, 1, dt, "upconv2")
-        x = VAEResBlock3D(c, dt, name="res3")(x)
-        x = FrameGroupNorm(min(8, c), name="norm_out")(x)
-        x = nn.Conv(3, (1, 1, 1), dtype=jnp.float32,
-                    name="head")(nn.silu(x))
+    def _body(self, z, cc):
+        dt = self.cfg.compute_dtype
+        x = self.stem(z.astype(dt))
+        x, c0 = self.res0.stream(x, cc[0])
+        x = _up(2, 2)(x)
+        x, c1 = _stream_conv(self.upconv0, 1, x, cc[1])
+        x, c2 = self.res1.stream(x, cc[2])
+        x = _up(2, 2)(x)
+        x, c3 = _stream_conv(self.upconv1, 1, x, cc[3])
+        x, c4 = self.res2.stream(x, cc[4])
+        x = _up(1, 2)(x)
+        x, c5 = _stream_conv(self.upconv2, 1, x, cc[5])
+        x, c6 = self.res3.stream(x, cc[6])
+        x = self.head(nn.silu(self.norm_out(x)))
+        return jnp.tanh(x), [c0, c1, c2, c3, c4, c5, c6]
+
+    def __call__(self, z):
+        x, _ = self._body(z, [None] * 7)
         # first latent frame contributes ONE pixel frame (causal 4x):
         # 4k upsampled frames -> trim the 3 lead-in frames
-        return jnp.tanh(x[:, 3:])
+        return x[:, 3:]
+
+    def stream(self, z, cache):
+        x, cc = self._body(z, [None] * 7 if cache is None else cache)
+        if cache is None:
+            x = x[:, 3:]
+        return x, cc
 
 
 def latent_frames(t):

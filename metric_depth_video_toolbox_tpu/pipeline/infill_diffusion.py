@@ -241,6 +241,52 @@ class CausalInfillEngine:
             jnp.zeros((1, tl, lh, lw, self.cfg.cond_ch)), None)
         self._params = {"dit": gp, "enc": ep, "dec": dp}
 
+    # frames per encode segment / latents per decode segment for the
+    # streamed VAE: the full-video activations of the PRODUCTION chunk
+    # (225 frames @ 480x832) are ~17 GB at the encoder stem — far past
+    # one chip's HBM — while a 32-frame segment is ~2.4 GB. Streaming
+    # is exact (models/wan.py stream methods, tests/test_wan_stream.py)
+    # so it is simply always on; encode segments must be x4 (temporal
+    # stride alignment) and tp = 4k-3 makes the ragged tail legal.
+    ENC_SEG = 32
+    DEC_SEG = 8
+
+    def _vae_encode(self, x):
+        """(1, T, wh, ww, 3) float device/host -> (1, T_lat, lh, lw,
+        z) via segment-streamed encode (shape-keyed jits)."""
+        t = x.shape[1]
+        outs, cache, s = [], None, 0
+        while s < t:
+            ln = min(self.ENC_SEG, t - s)
+            key = ("enc", ln, cache is None)
+            run = self._enc_run_cache.get(key)
+            if run is None:
+                run = jax.jit(lambda p, seg, c: self.enc.apply(
+                    p, seg, c, method="stream"))
+                self._enc_run_cache[key] = run
+            z, cache = run(self._params["enc"], x[:, s:s + ln], cache)
+            outs.append(z)
+            s += ln
+        return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+    def _vae_decode(self, z):
+        """(1, T_lat, lh, lw, zc) -> (1, 4*T_lat-3, wh, ww, 3) via
+        segment-streamed decode."""
+        tl = z.shape[1]
+        outs, cache, s = [], None, 0
+        while s < tl:
+            ln = min(self.DEC_SEG, tl - s)
+            key = ("dec", ln, cache is None)
+            run = self._enc_run_cache.get(key)
+            if run is None:
+                run = jax.jit(lambda p, seg, c: self.dec.apply(
+                    p, seg, c, method="stream"))
+                self._enc_run_cache[key] = run
+            y, cache = run(self._params["dec"], z[:, s:s + ln], cache)
+            outs.append(y)
+            s += ln
+        return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
     def _encode_ref(self, mono_u8, tp):
         """Source latent, cached by content so the second eye's pass
         reuses the first's encode (reference shared_ref_latent)."""
@@ -254,23 +300,20 @@ class CausalInfillEngine:
         t = mono_u8.shape[0]
 
         # shape-keyed jit cache: a fresh @jax.jit closure per call would
-        # recompile the VAE encoder (~100 s remote-compile) on every new
-        # chunk; same pattern as self._run_cache below
-        enc_run = self._enc_run_cache.get((t, tp))
-        if enc_run is None:
-            enc_apply = self.enc.apply
-
+        # recompile (~100 s remote-compile) on every new chunk
+        prep = self._enc_run_cache.get(("ref_prep", t, tp))
+        if prep is None:
             @jax.jit
-            def enc_run(params, m_u8):
+            def prep(m_u8):
                 m = m_u8.astype(jnp.float32) / 127.5 - 1.0
                 m = jax.image.resize(m, (1, t, wh, ww, 3), "bilinear")
                 m = jnp.concatenate(
                     [m, jnp.repeat(m[:, -1:], tp - t, axis=1)], axis=1) \
                     if tp > t else m
-                return enc_apply(params, m)
-            self._enc_run_cache[(t, tp)] = enc_run
-        ref = robust_call(enc_run, self._params["enc"],
-                          jnp.asarray(mono_u8)[None])
+                return m
+            self._enc_run_cache[("ref_prep", t, tp)] = prep
+        ref = self._vae_encode(prep(jnp.asarray(mono_u8)[None]))
+        jax.block_until_ready(ref)
         self._ref_cache = (key, ref)
         return ref
 
@@ -288,15 +331,17 @@ class CausalInfillEngine:
         tl = self.wan.latent_frames(tp)
         lh, lw = ref.shape[2], ref.shape[3]
 
+        # three jitted stages with the streamed VAE between them: one
+        # monolithic jit (prep+encode+sample+decode+composite) held the
+        # full-video VAE activations live and cannot compile at the
+        # production chunk (225x480x832)
         key = (t, h, w)
-        run = self._run_cache.get(key)
-        if run is None:
-            cfg, enc, dec, model, wan_mod = (self.cfg, self.enc,
-                                             self.dec, self.model,
-                                             self.wan)
+        stages = self._run_cache.get(key)
+        if stages is None:
+            cfg, model, wan_mod = self.cfg, self.model, self.wan
 
             @jax.jit
-            def run(params, rng, f_u8, m, ref_lat):
+            def prep(f_u8, m):
                 f = f_u8.astype(jnp.float32) / 127.5 - 1.0
                 fw = jax.image.resize(f, (t, wh, ww, 3), "bilinear")
                 mw = jax.image.resize(
@@ -309,14 +354,21 @@ class CausalInfillEngine:
                         [fw, jnp.repeat(fw[-1:], tp - t, axis=0)])
                     mw = jnp.concatenate(
                         [mw, jnp.repeat(mw[-1:], tp - t, axis=0)])
-                render = enc.apply(params["enc"], fw[None])
+                return fw[None], mw
+
+            @jax.jit
+            def sample(params, rng, render, ref_lat, mw):
                 mlat = wan_mod.mask_to_latent(mw, tl, lh, lw)[None]
-                cond = jnp.concatenate([render, ref_lat, mlat], axis=-1)
-                z = wan_mod.sample_causal(
+                cond = jnp.concatenate([render, ref_lat, mlat],
+                                       axis=-1)
+                return wan_mod.sample_causal(
                     lambda p, x, tf, c, ctx: model.apply(p, x, tf, c,
                                                          ctx),
-                    params["dit"], rng, cond, cfg)
-                out = dec.apply(params["dec"], z)[0, :t]
+                    params, rng, cond, cfg)
+
+            @jax.jit
+            def post(decoded, f_u8, m):
+                out = decoded[0, :t]
                 out = (out * 0.5 + 0.5) * 255.0
                 out = jax.image.resize(out, (t, h, w, 3), "bilinear")
                 outm = jax.vmap(
@@ -327,12 +379,19 @@ class CausalInfillEngine:
                 comp = jnp.where(m[..., None], outm,
                                  f_u8.astype(jnp.float32))
                 return jnp.clip(comp, 0, 255).astype(jnp.uint8)
-            self._run_cache[key] = run
 
+            stages = (prep, sample, post)
+            self._run_cache[key] = stages
+
+        prep, sample, post = stages
         self._rng, sub = jax.random.split(self._rng)
-        return robust_call(run, self._params, sub,
-                           jnp.asarray(frames_u8),
-                           jnp.asarray(hole_mask), ref)
+        f_dev = jnp.asarray(frames_u8)
+        m_dev = jnp.asarray(hole_mask)
+        fw, mw = prep(f_dev, m_dev)
+        render = self._vae_encode(fw)
+        z = sample(self._params["dit"], sub, render, ref, mw)
+        decoded = self._vae_decode(z)
+        return robust_call(post, decoded, f_dev, m_dev)
 
 
 def infill_sbs_video_diffusion(sbs_video, infill_mask_video, output=None,

@@ -496,24 +496,37 @@ class WanBlock(nn.Module):
                          (1, 6, c.dim))
         b, t = e.shape[0], e.shape[1]
         n_sp = x.shape[1] // t
+        dm = c.dim
         m = (mod[:, None].astype(jnp.float32) + e.astype(jnp.float32))
-        m = jnp.repeat(m, n_sp, axis=1)  # (B, N, 6, D)
-        sh1, sc1, g1, sh2, sc2, g2 = [m[:, :, i] for i in range(6)]
+        # modulation applies per-frame over the frame's spatial tokens:
+        # broadcast through a (B, T, S, D) view — an explicit
+        # jnp.repeat to (B, N, 6, D) materialized 3.05 GB PER BLOCK at
+        # the production 89k-token chunk (HBM OOM, round 5)
+        sh1, sc1, g1, sh2, sc2, g2 = [m[:, :, i][:, :, None]
+                                      for i in range(6)]
+
+        def modulated(v_f32, sc, sh):
+            vr = v_f32.reshape(b, t, n_sp, dm)
+            return ((1 + sc) * vr + sh).reshape(b, t * n_sp, dm)
+
+        def gated(v, g):
+            vr = v.astype(jnp.float32).reshape(b, t, n_sp, dm)
+            return (g * vr).reshape(b, t * n_sp, dm)
 
         dt = c.compute_dtype
-        y = (_ln_noaffine(x).astype(jnp.float32) * (1 + sc1) + sh1)
+        y = modulated(_ln_noaffine(x).astype(jnp.float32), sc1, sh1)
         y = WanSelfAttention(c, name="self_attn")(y.astype(dt), rope,
                                                   block_ids)
-        x = x + (g1 * y.astype(jnp.float32)).astype(x.dtype)
+        x = x + gated(y, g1).astype(x.dtype)
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                          name="norm3")(x)
         x = x + WanCrossAttention(c, name="cross_attn")(y.astype(dt),
                                                         ctx)
-        y = (_ln_noaffine(x).astype(jnp.float32) * (1 + sc2) + sh2)
+        y = modulated(_ln_noaffine(x).astype(jnp.float32), sc2, sh2)
         y = nn.Dense(c.ffn_dim, dtype=dt, name="ffn1")(y.astype(dt))
         y = nn.gelu(y, approximate=True)
         y = nn.Dense(c.dim, dtype=dt, name="ffn2")(y)
-        return x + (g2 * y.astype(jnp.float32)).astype(x.dtype)
+        return x + gated(y, g2).astype(x.dtype)
 
 
 def timestep_embedding(t, dim, max_period=10000.0):
@@ -583,12 +596,14 @@ class WanDiT(nn.Module):
             tok = WanBlock(c, name=f"block{i}")(tok, e6, ctx, rope, fb)
 
         # output head: modulated norm + linear to patch pixels
+        # (broadcast through the (B, T, S, D) view — see WanBlock)
         hm = self.param("head_modulation", nn.initializers.normal(0.02),
                         (1, 2, c.dim))
         m = hm[:, None].astype(jnp.float32) + te[:, :, None, :]
-        m = jnp.repeat(m, hp * wp, axis=1)
-        sh, sc = m[:, :, 0], m[:, :, 1]
-        y = _ln_noaffine(tok).astype(jnp.float32) * (1 + sc) + sh
+        sh, sc = m[:, :, 0][:, :, None], m[:, :, 1][:, :, None]
+        yr = _ln_noaffine(tok).astype(jnp.float32).reshape(
+            b, t, hp * wp, c.dim)
+        y = ((1 + sc) * yr + sh).reshape(b, t * hp * wp, c.dim)
         y = nn.Dense(p * p * c.z_ch, dtype=jnp.float32,
                      name="head")(y.astype(dt))
         y = y.reshape(b, t, hp, wp, p, p, c.z_ch)

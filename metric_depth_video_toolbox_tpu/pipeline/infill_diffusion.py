@@ -244,12 +244,15 @@ class CausalInfillEngine:
     # frames per encode segment / latents per decode segment for the
     # streamed VAE: the full-video activations of the PRODUCTION chunk
     # (225 frames @ 480x832) are ~17 GB at the encoder stem — far past
-    # one chip's HBM — while a 32-frame segment is ~2.4 GB. Streaming
-    # is exact (models/wan.py stream methods, tests/test_wan_stream.py)
-    # so it is simply always on; encode segments must be x4 (temporal
-    # stride alignment) and tp = 4k-3 makes the ragged tail legal.
-    ENC_SEG = 32
-    DEC_SEG = 8
+    # one chip's HBM. Streaming is exact (models/wan.py stream methods,
+    # tests/test_wan_stream.py) so it is simply always on; encode
+    # segments must be x4 (temporal stride alignment) and tp = 4k-3
+    # makes the ragged tail legal. Sizes chosen small: a segment's
+    # full-res conv temps are ~0.3 GB/frame and several are live at
+    # once, next to ~6 GB of resident f32 params (32-frame segments
+    # measured a runtime HBM OOM on the 15.75 G chip).
+    ENC_SEG = 8
+    DEC_SEG = 2
 
     def _vae_encode(self, x):
         """(1, T, wh, ww, 3) float device/host -> (1, T_lat, lh, lw,
@@ -366,11 +369,13 @@ class CausalInfillEngine:
                                                          ctx),
                     params, rng, cond, cfg)
 
-            @jax.jit
-            def post(decoded, f_u8, m):
-                out = decoded[0, :t]
-                out = (out * 0.5 + 0.5) * 255.0
-                out = jax.image.resize(out, (t, h, w, 3), "bilinear")
+            def post(decoded_seg, f_u8, m):
+                # per-frame math — segmented by the host loop below so
+                # the full-chunk f32 temps (~1.4 GB each at production
+                # dims) never coexist with the resident DiT params
+                ln = f_u8.shape[0]
+                out = (decoded_seg * 0.5 + 0.5) * 255.0
+                out = jax.image.resize(out, (ln, h, w, 3), "bilinear")
                 outm = jax.vmap(
                     lambda g, r, wt: infill_ops.lhm_color_transfer(
                         g, r, ref_weights=wt))(
@@ -380,7 +385,7 @@ class CausalInfillEngine:
                                  f_u8.astype(jnp.float32))
                 return jnp.clip(comp, 0, 255).astype(jnp.uint8)
 
-            stages = (prep, sample, post)
+            stages = (prep, sample, jax.jit(post))
             self._run_cache[key] = stages
 
         prep, sample, post = stages
@@ -389,9 +394,19 @@ class CausalInfillEngine:
         m_dev = jnp.asarray(hole_mask)
         fw, mw = prep(f_dev, m_dev)
         render = self._vae_encode(fw)
+        del fw  # drop stage outputs eagerly: at the production chunk
         z = sample(self._params["dit"], sub, render, ref, mw)
+        del render, mw  # each held ~1 GB through the next stage and
         decoded = self._vae_decode(z)
-        return robust_call(post, decoded, f_dev, m_dev)
+        del z  # the final composite OOMed with all of them live
+        out = np.empty((t, h, w, 3), np.uint8)
+        seg = 32
+        for s in range(0, t, seg):
+            ln = min(seg, t - s)
+            out[s:s + ln] = robust_call(
+                post, decoded[0, s:s + ln], f_dev[s:s + ln],
+                m_dev[s:s + ln])
+        return out
 
 
 def infill_sbs_video_diffusion(sbs_video, infill_mask_video, output=None,

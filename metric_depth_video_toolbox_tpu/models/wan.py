@@ -624,30 +624,18 @@ def mask_to_latent(mask_thw, t_lat, lat_h, lat_w):
     return m4.reshape(t_lat, 4, lat_h, lat_w).transpose(0, 2, 3, 1)
 
 
-def sample_causal(apply_fn, params, rng, cond, cfg: WanConfig,
-                  context=None):
-    """Block-causal few-step flow sampling (the reference's
-    CausalInferencePipeline role, inspatio_world_infill.py:331-338).
-
-    cond: (B, T_lat, h, w, cond_ch). Returns clean latents
-    (B, T_lat, h, w, z_ch). One jitted lax.scan over
-    n_blocks * n_steps model calls; finished blocks ride at t=0 with
-    their clean values (the static-shape equivalent of KV caching).
-    """
-    b, t_lat, h, w, _ = cond.shape
-    n_blocks = t_lat // cfg.block_frames
-    assert n_blocks * cfg.block_frames == t_lat, (
-        f"T_lat {t_lat} not divisible by block size {cfg.block_frames}")
-    steps = list(cfg.denoise_steps) + [0.0]
+def make_sample_step(apply_fn, cfg: WanConfig, b, t_lat):
+    """One jitted (block, step) update of the block-causal sampler:
+    step(params, x, cond, context, si) -> x'. ``si`` is a DEVICE
+    scalar, so one compilation serves every iteration."""
     n_steps = len(cfg.denoise_steps)
-
-    noise = jax.random.normal(rng, (b, t_lat, h, w, cfg.z_ch),
-                              jnp.float32)
+    steps = list(cfg.denoise_steps) + [0.0]
     frame_block = jnp.arange(t_lat) // cfg.block_frames
     t_pairs = jnp.asarray(
         [(steps[i], steps[i + 1]) for i in range(n_steps)], jnp.float32)
 
-    def body(x, si):
+    @jax.jit
+    def step(params, x, cond, context, si):
         bi = si // n_steps
         ti, tn = t_pairs[si % n_steps]
         # frames: finished blocks t=0, active block ti, future t=1
@@ -657,7 +645,32 @@ def sample_causal(apply_fn, params, rng, cond, cfg: WanConfig,
         v = apply_fn(params, x, tf, cond, context)
         x_new = x + (tn - ti) * v
         upd = (frame_block == bi)[None, :, None, None, None]
-        return jnp.where(upd, x_new, x), None
+        return jnp.where(upd, x_new, x)
+    return step
 
-    x0, _ = jax.lax.scan(body, noise, jnp.arange(n_blocks * n_steps))
-    return x0
+
+def sample_causal(apply_fn, params, rng, cond, cfg: WanConfig,
+                  context=None, step_fn=None):
+    """Block-causal few-step flow sampling (the reference's
+    CausalInferencePipeline role, inspatio_world_infill.py:331-338).
+
+    cond: (B, T_lat, h, w, cond_ch). Returns clean latents
+    (B, T_lat, h, w, z_ch). HOST loop over n_blocks * n_steps jitted
+    model calls (one compile; si is a device scalar); finished blocks
+    ride at t=0 with their clean values (the static-shape equivalent
+    of KV caching). A host loop, NOT one giant lax.scan program: at
+    the production chunk the scan version is ONE ~20-minute XLA
+    execution, which the tunneled runtime's watchdog kills ("TPU
+    worker crashed"); per-step executions are each a few seconds.
+    ``step_fn``: pass a cached make_sample_step to skip re-tracing.
+    """
+    b, t_lat, h, w, _ = cond.shape
+    n_blocks = t_lat // cfg.block_frames
+    assert n_blocks * cfg.block_frames == t_lat, (
+        f"T_lat {t_lat} not divisible by block size {cfg.block_frames}")
+    n_steps = len(cfg.denoise_steps)
+    x = jax.random.normal(rng, (b, t_lat, h, w, cfg.z_ch), jnp.float32)
+    step = step_fn or make_sample_step(apply_fn, cfg, b, t_lat)
+    for si in range(n_blocks * n_steps):
+        x = step(params, x, cond, context, jnp.int32(si))
+    return x

@@ -360,14 +360,22 @@ class CausalInfillEngine:
                 return fw[None], mw
 
             @jax.jit
-            def sample(params, rng, render, ref_lat, mw):
+            def make_cond(render, ref_lat, mw):
                 mlat = wan_mod.mask_to_latent(mw, tl, lh, lw)[None]
-                cond = jnp.concatenate([render, ref_lat, mlat],
+                return jnp.concatenate([render, ref_lat, mlat],
                                        axis=-1)
+
+            step_fn = wan_mod.make_sample_step(
+                lambda p, x, tf, c, ctx: model.apply(p, x, tf, c, ctx),
+                cfg, 1, tl)
+
+            def sample(params, rng, render, ref_lat, mw):
+                # host loop of jitted steps — one giant scan program
+                # is a ~20 min single execution at the production
+                # chunk, which the tunnel watchdog kills
                 return wan_mod.sample_causal(
-                    lambda p, x, tf, c, ctx: model.apply(p, x, tf, c,
-                                                         ctx),
-                    params, rng, cond, cfg)
+                    None, params, rng, make_cond(render, ref_lat, mw),
+                    cfg, step_fn=step_fn)
 
             def post(decoded_seg, f_u8, m):
                 # per-frame math — segmented by the host loop below so

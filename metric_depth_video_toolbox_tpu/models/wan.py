@@ -673,4 +673,10 @@ def sample_causal(apply_fn, params, rng, cond, cfg: WanConfig,
     step = step_fn or make_sample_step(apply_fn, cfg, b, t_lat)
     for si in range(n_blocks * n_steps):
         x = step(params, x, cond, context, jnp.int32(si))
+        if si % 4 == 3:
+            # keep the dispatch queue bounded: downstream fetches
+            # otherwise time out behind ~20 min of queued steps and
+            # their retry re-dispatches pile duplicate work into HBM
+            jax.block_until_ready(x)
+    jax.block_until_ready(x)
     return x

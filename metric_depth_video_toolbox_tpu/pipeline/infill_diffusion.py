@@ -226,6 +226,8 @@ class CausalInfillEngine:
 
     def _ensure(self):
         if self._params is not None:
+            if isinstance(self._params, dict) and "dit" in self._params:
+                self._compact_params()
             return
         tp = self._t_pad(min(self.chunk, 5))
         wh, ww = self.work_hw
@@ -240,6 +242,19 @@ class CausalInfillEngine:
             jnp.zeros((1, tl)),
             jnp.zeros((1, tl, lh, lw, self.cfg.cond_ch)), None)
         self._params = {"dit": gp, "enc": ep, "dec": dp}
+        self._compact_params()
+
+    def _compact_params(self):
+        """bf16-store the 1.3B DiT weights in bf16 production mode:
+        every matmul already casts to bf16, so storage precision only
+        affects the few f32 embedding layers (sub-rounding), and the
+        f32 tree's 5.2 GB of resident HBM was a third of the chip."""
+        if self.cfg.dtype != "bfloat16" or self._params is None:
+            return
+        self._params["dit"] = jax.tree_util.tree_map(
+            lambda a: (a.astype(jnp.bfloat16)
+                       if hasattr(a, "dtype") and a.dtype == jnp.float32
+                       else a), self._params["dit"])
 
     # frames per encode segment / latents per decode segment for the
     # streamed VAE: the full-video activations of the PRODUCTION chunk
@@ -253,6 +268,11 @@ class CausalInfillEngine:
     # measured a runtime HBM OOM on the 15.75 G chip).
     ENC_SEG = 8
     DEC_SEG = 2
+    # latents per interleaved decode+composite segment: 2 latents =
+    # 8 pixel frames of full-res decoder temps at a time (8-latent
+    # segments measured a runtime OOM even with bf16 DiT params — the
+    # decoder keeps ~5 full-res temps live per segment)
+    DEC_SEG4 = 2
 
     def _vae_encode(self, x):
         """(1, T, wh, ww, 3) float device/host -> (1, T_lat, lh, lw,
@@ -268,7 +288,8 @@ class CausalInfillEngine:
                     p, seg, c, method="stream"))
                 self._enc_run_cache[key] = run
             z, cache = run(self._params["enc"], x[:, s:s + ln], cache)
-            outs.append(z)
+            jax.block_until_ready(z)  # serialize: queued segments'
+            outs.append(z)            # peaks must not overlap in HBM
             s += ln
         return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
@@ -286,6 +307,7 @@ class CausalInfillEngine:
                     p, seg, c, method="stream"))
                 self._enc_run_cache[key] = run
             y, cache = run(self._params["dec"], z[:, s:s + ln], cache)
+            jax.block_until_ready(y)  # see _vae_encode
             outs.append(y)
             s += ln
         return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
@@ -404,16 +426,32 @@ class CausalInfillEngine:
         render = self._vae_encode(fw)
         del fw  # drop stage outputs eagerly: at the production chunk
         z = sample(self._params["dit"], sub, render, ref, mw)
-        del render, mw  # each held ~1 GB through the next stage and
-        decoded = self._vae_decode(z)
-        del z  # the final composite OOMed with all of them live
+        del render, mw  # each held ~1 GB through the next stage
+        # decode + composite INTERLEAVED per latent segment: the full
+        # decoded video never exists on device (a 1.08 GB contiguous
+        # alloc in the post-sampler fragmented heap failed on the
+        # second production chunk), and each u8 segment is fetched as
+        # soon as it is composited
         out = np.empty((t, h, w, 3), np.uint8)
-        seg = 32
-        for s in range(0, t, seg):
-            ln = min(seg, t - s)
-            out[s:s + ln] = robust_call(
-                post, decoded[0, s:s + ln], f_dev[s:s + ln],
-                m_dev[s:s + ln])
+        tl_ = z.shape[1]
+        cache, s_lat, s_pix = None, 0, 0
+        while s_lat < tl_ and s_pix < t:
+            ln_lat = min(self.DEC_SEG4, tl_ - s_lat)
+            key_d = ("dec4", ln_lat, cache is None)
+            run = self._enc_run_cache.get(key_d)
+            if run is None:
+                run = jax.jit(lambda p, seg, c: self.dec.apply(
+                    p, seg, c, method="stream"))
+                self._enc_run_cache[key_d] = run
+            y, cache = run(self._params["dec"],
+                           z[:, s_lat:s_lat + ln_lat], cache)
+            ln_pix = min(y.shape[1], t - s_pix)
+            out[s_pix:s_pix + ln_pix] = robust_call(
+                post, y[0, :ln_pix], f_dev[s_pix:s_pix + ln_pix],
+                m_dev[s_pix:s_pix + ln_pix])
+            s_lat += ln_lat
+            s_pix += ln_pix
+        del z
         return out
 
 
